@@ -1,0 +1,72 @@
+"""ctypes bindings to the native C++ oracle (oracle/liboracle.so).
+
+The oracle is the golden decoder: YUV (and later PCM / composite samples)
+produced here define bit-exact correctness for the batched device
+decoders.  Builds on demand via the oracle Makefile.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_ORACLE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "oracle")
+_LIB_PATH = os.path.join(_ORACLE_DIR, "liboracle.so")
+_lib = None
+
+
+def build(force: bool = False) -> str:
+    """Build liboracle.so if missing (or force); returns its path."""
+    if force or not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-s"] + (["-B"] if force else []),
+                       cwd=_ORACLE_DIR, check=True)
+    return _LIB_PATH
+
+
+def lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        _lib = ctypes.CDLL(build())
+        _lib.mpeg1_oracle_decode.restype = ctypes.c_int
+        _lib.mpeg1_oracle_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+    return _lib
+
+
+def available() -> bool:
+    try:
+        lib()
+        return True
+    except Exception:
+        return False
+
+
+def decode_mpeg1(es: bytes, max_frames: int = 64,
+                 width: int = 352, height: int = 192):
+    """Decode an MPEG-1 video ES; returns (frames, pts) where frames is a
+    list of (y, u, v) uint8 arrays.  Raises on parse errors."""
+    L = lib()
+    y = np.zeros((max_frames, height, width), np.uint8)
+    u = np.zeros((max_frames, height // 2, width // 2), np.uint8)
+    v = np.zeros((max_frames, height // 2, width // 2), np.uint8)
+    pts = np.zeros(max_frames, np.int64)
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    n = L.mpeg1_oracle_decode(
+        es, len(es),
+        y.ctypes.data_as(ctypes.c_void_p),
+        u.ctypes.data_as(ctypes.c_void_p),
+        v.ctypes.data_as(ctypes.c_void_p),
+        pts.ctypes.data_as(ctypes.c_void_p),
+        max_frames, ctypes.byref(w), ctypes.byref(h))
+    if n < 0:
+        raise ValueError(f"oracle parse error {-n}")
+    assert (w.value, h.value) == (width, height), (w.value, h.value)
+    return [(y[i], u[i], v[i]) for i in range(n)], pts[:n]
