@@ -1,0 +1,371 @@
+"""Batched MPEG-1 video decoder model (the flagship pipeline stage).
+
+Host side: cheap byte-level picture/slice segmentation of elementary
+streams (the per-stream analogue of the reference's start-code scan loop,
+/root/reference/src/player.cpp:1355-1367).  Device side: one jitted call
+decodes ONE PICTURE PER LANE for N lanes:
+
+    scan  (ops/vlc_scan.py)  -- lane-parallel FSM: levels + MB records
+    dense (ops/idct.py)      -- batched dequant + exact IDCT
+    dense (ops/mocomp.py)    -- gathered half-pel prediction
+    compose                  -- per-pixel select by MB kind + PIN
+
+Frame state is HBM-resident [N, 2, H, W] double-buffered planes with a
+per-lane parity (the contiguous replacement for the reference's
+strip-chunked Frame pair, player.h:37-39, SURVEY.md "memory layout").
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from espflix_tpu.core import vlc_tables as V
+from espflix_tpu.core.bitio import BitReader, bytes_to_words_be
+from espflix_tpu.ops import idct as idct_ops
+from espflix_tpu.ops import mocomp as mocomp_ops
+from espflix_tpu.ops import vlc_scan
+
+
+# ---------------------------------------------------------------------------
+# Host-side ES segmentation
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SequenceInfo:
+    width: int
+    height: int
+    intra_q: np.ndarray
+    non_intra_q: np.ndarray
+
+    @property
+    def mb_width(self):
+        return (self.width + 15) >> 4
+
+    @property
+    def mb_height(self):
+        return (self.height + 15) >> 4
+
+
+@dataclass
+class PictureData:
+    """One picture's payload, device-ready."""
+    pic_type: int            # 1=I, 2=P (others are presented-but-skipped)
+    full_pel: int
+    r_size: int
+    seq: SequenceInfo
+    payload: bytes = b""     # slice region (start codes included)
+    slice_offsets: list = field(default_factory=list)  # bit offsets
+    slice_rows: list = field(default_factory=list)
+    pts: int = -1
+
+
+def find_start_codes(data: bytes):
+    """All (byte_pos, code) of 00 00 01 xx prefixes, numpy-fast."""
+    a = np.frombuffer(data, np.uint8)
+    if len(a) < 4:
+        return []
+    hits = np.where((a[:-3] == 0) & (a[1:-2] == 0) & (a[2:-1] == 1))[0]
+    return [(int(p), int(a[p + 3])) for p in hits]
+
+
+def parse_es(data: bytes, pts_of=None) -> tuple[SequenceInfo, list]:
+    """Segment an MPEG-1 video ES into PictureData records.
+
+    Returns (sequence_info, pictures).  Non-I/P pictures produce records
+    with no slices (lane presents/flips with unchanged content upstream).
+    """
+    codes = find_start_codes(data)
+    seq: SequenceInfo | None = None
+    pics: list[PictureData] = []
+    cur: PictureData | None = None
+    cur_start = None  # byte pos of first slice start code
+
+    def close(end_byte):
+        nonlocal cur, cur_start
+        if cur is not None:
+            if cur_start is not None:
+                base = cur_start
+                cur.payload = data[base:end_byte]
+                cur.slice_offsets = [
+                    (off - base) * 8 + 32 for off in cur.slice_offsets]
+            cur = None
+            cur_start = None
+
+    npic = 0
+    for pos, code in codes:
+        if code == 0xB3:  # sequence header
+            close(pos)
+            r = BitReader(data[pos + 4:pos + 4 + 140])
+            w, h = r.get(12), r.get(12)
+            r.get(4 + 4 + 18 + 12)
+            if r.get(1):
+                iq = np.array([r.get(8) for _ in range(64)], np.int32)
+            else:
+                iq = V.DEFAULT_INTRA_Q.copy()
+            if r.get(1):
+                nq = np.array([r.get(8) for _ in range(64)], np.int32)
+            else:
+                nq = V.DEFAULT_NON_INTRA_Q.copy()
+            seq = SequenceInfo(w, h, iq, nq)
+        elif code == 0x00:  # picture
+            close(pos)
+            assert seq is not None, "picture before sequence header"
+            r = BitReader(data[pos + 4:pos + 4 + 8])
+            r.get(10)
+            ptype = r.get(3)
+            full_pel = r_size = 0
+            if ptype == 2:
+                r.get(16)
+                full_pel = r.get(1)
+                r_size = r.get(3) - 1
+            pts = pts_of(npic) if pts_of else npic
+            npic += 1
+            cur = PictureData(ptype, full_pel, r_size, seq, pts=pts)
+            pics.append(cur)
+        elif 0x01 <= code <= 0xAF:  # slice
+            if cur is not None and cur.pic_type in (1, 2):
+                if cur_start is None:
+                    cur_start = pos
+                cur.slice_offsets.append(pos)
+                cur.slice_rows.append(code - 1)
+        elif code in (0xB7,):  # sequence end
+            close(pos)
+        # GOP (0xB8), user data, extensions: no action needed
+    close(len(data))
+    return seq, pics
+
+
+# ---------------------------------------------------------------------------
+# Batch assembly
+# ---------------------------------------------------------------------------
+
+def make_picture_batch(pictures: list, words_per_lane: int | None = None,
+                       max_slices: int | None = None):
+    """Pack one PictureData per lane into device arrays.
+
+    pictures may contain None entries (starved lane: no picture, lane
+    keeps its frame and does not flip).
+    """
+    real = [p for p in pictures if p is not None]
+    assert real, "empty batch"
+    seq = real[0].seq
+    mbh = seq.mb_height
+    S = max_slices or max(
+        max((len(p.slice_offsets) for p in real), default=1), 1)
+    if words_per_lane is None:
+        words_per_lane = max(
+            (len(p.payload) + 3) // 4 + 4 for p in real)
+
+    N = len(pictures)
+    words = np.zeros((N, words_per_lane), np.uint32)
+    slice_starts = np.zeros((N, S), np.int32)
+    slice_rows = np.zeros((N, S), np.int32)
+    n_slices = np.zeros(N, np.int32)
+    pic_type = np.ones(N, np.int32)
+    full_pel = np.zeros(N, np.int32)
+    r_size = np.zeros(N, np.int32)
+    intra_q = np.tile(V.DEFAULT_INTRA_Q, (N, 1)).astype(np.int32)
+    non_intra_q = np.tile(V.DEFAULT_NON_INTRA_Q, (N, 1)).astype(np.int32)
+    active = np.zeros(N, bool)
+
+    for i, p in enumerate(pictures):
+        if p is None:
+            continue
+        w = bytes_to_words_be(p.payload)
+        assert len(w) <= words_per_lane, (len(w), words_per_lane)
+        words[i, :len(w)] = w
+        k = len(p.slice_offsets)
+        assert k <= S
+        slice_starts[i, :k] = p.slice_offsets
+        slice_rows[i, :k] = p.slice_rows
+        n_slices[i] = k
+        pic_type[i] = p.pic_type
+        full_pel[i] = p.full_pel
+        r_size[i] = max(p.r_size, 0)
+        intra_q[i] = p.seq.intra_q
+        non_intra_q[i] = p.seq.non_intra_q
+        active[i] = True
+
+    return dict(
+        words=words, slice_starts=slice_starts, slice_rows=slice_rows,
+        n_slices=n_slices, pic_type=pic_type, full_pel=full_pel,
+        r_size=r_size, intra_q=intra_q, non_intra_q=non_intra_q,
+        active=active,
+        mb_width=seq.mb_width, mb_height=mbh,
+    )
+
+
+def init_frame_state(n_lanes: int, width: int, height: int):
+    """HBM-resident double-buffered planes + per-lane parity."""
+    return dict(
+        y=jnp.zeros((n_lanes, 2, height, width), jnp.uint8),
+        u=jnp.zeros((n_lanes, 2, height // 2, width // 2), jnp.uint8),
+        v=jnp.zeros((n_lanes, 2, height // 2, width // 2), jnp.uint8),
+        parity=jnp.zeros((n_lanes,), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device decode
+# ---------------------------------------------------------------------------
+
+def _sext12(x):
+    x = x & 0xFFF
+    return jnp.where(x >= 0x800, x - 0x1000, x)
+
+
+def _take_parity(planes, parity):
+    # planes [N,2,H,W]; parity [N] -> [N,H,W]
+    idx = parity[:, None, None, None]
+    return jnp.take_along_axis(planes, idx, axis=1)[:, 0]
+
+
+def _pin(x):
+    return jnp.clip(x, 0, 248)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mb_width", "mb_height", "max_steps"))
+def decode_picture_batch(words, slice_starts, slice_rows, n_slices,
+                         pic_type, full_pel, r_size, intra_q, non_intra_q,
+                         active, frames, *, mb_width: int, mb_height: int,
+                         max_steps: int):
+    """Decode one picture per lane; returns (new_frames, presented, info).
+
+    presented: dict(y,u,v) uint8 planes of the just-decoded pictures
+    (lanes not active return their previous current plane).
+    """
+    N = words.shape[0]
+    mb_count = mb_width * mb_height
+    H, W = mb_height * 16, mb_width * 16
+
+    st0 = vlc_scan.initial_state(
+        N, slice_starts, slice_rows, n_slices, pic_type, full_pel, r_size)
+    coeffs, recs, nfinal, st, iters = vlc_scan.run_scan(
+        words, st0, mb_width, mb_count, max_steps)
+
+    kind = (recs & 3).reshape(N, mb_height, mb_width)
+    qs_mb = ((recs >> 2) & 31).reshape(N, mb_height, mb_width)
+    mv_h = _sext12(recs >> 7).reshape(N, mb_height, mb_width)
+    mv_v = _sext12(recs >> 19).reshape(N, mb_height, mb_width)
+
+    parity = frames["parity"]
+    cur_y = _take_parity(frames["y"], parity)
+    cur_u = _take_parity(frames["u"], parity)
+    cur_v = _take_parity(frames["v"], parity)
+    ref_y = _take_parity(frames["y"], 1 - parity)
+    ref_u = _take_parity(frames["u"], 1 - parity)
+    ref_v = _take_parity(frames["v"], 1 - parity)
+
+    # ---- prediction (skip + inter MBs; zero MV elsewhere is harmless)
+    pred_y = mocomp_ops.predict_plane(ref_y, mv_h, mv_v, 16)
+    pred_u = mocomp_ops.predict_plane(ref_u, mv_h >> 1, mv_v >> 1, 8)
+    pred_v = mocomp_ops.predict_plane(ref_v, mv_h >> 1, mv_v >> 1, 8)
+
+    # ---- residuals
+    levels = coeffs.astype(jnp.int32).reshape(N, mb_count, 6, 64)
+    intra_mb = (recs & 3) == vlc_scan.MB_INTRA           # [N, MB]
+    intra_blk = jnp.broadcast_to(intra_mb[:, :, None], (N, mb_count, 6))
+    qs_blk = jnp.broadcast_to(
+        ((recs >> 2) & 31)[:, :, None], (N, mb_count, 6))
+    qmat = jnp.where(intra_blk[..., None],
+                     intra_q[:, None, None, :],
+                     non_intra_q[:, None, None, :])
+    res = idct_ops.block_residuals(
+        levels, intra_blk, qs_blk, qmat,
+        nfinal.reshape(N, mb_count, 6))                  # [N,MB,6,8,8]
+
+    # ---- assemble residual planes
+    res = res.reshape(N, mb_height, mb_width, 6, 8, 8)
+    ry = res[:, :, :, :4].reshape(N, mb_height, mb_width, 2, 2, 8, 8)
+    ry = ry.transpose(0, 1, 3, 5, 2, 4, 6).reshape(N, H, W)
+    ru = res[:, :, :, 4].transpose(0, 1, 3, 2, 4).reshape(N, H // 2, W // 2)
+    rv = res[:, :, :, 5].transpose(0, 1, 3, 2, 4).reshape(N, H // 2, W // 2)
+
+    # ---- compose by MB kind
+    def compose(cur, pred, resid, kind_mb, reps):
+        k = jnp.repeat(jnp.repeat(kind_mb, reps, axis=1), reps, axis=2)
+        stale = k == vlc_scan.MB_STALE
+        intra = k == vlc_scan.MB_INTRA
+        p = pred.astype(jnp.int32)
+        out = jnp.where(intra, _pin(resid), _pin(p + resid))
+        return jnp.where(stale, cur, out.astype(jnp.uint8))
+
+    new_y = compose(cur_y, pred_y, ry, kind, 16)
+    new_u = compose(cur_u, pred_u, ru, kind, 8)
+    new_v = compose(cur_v, pred_v, rv, kind, 8)
+
+    ok = active & ~st["error"]
+    live = active  # errored lanes keep partial decode (reference behavior)
+
+    def put(planes, new, parity):
+        onehot = jnp.arange(2, dtype=jnp.int32)[None, :, None, None] \
+            == parity[:, None, None, None]
+        upd = live[:, None, None, None] & onehot
+        return jnp.where(upd, new[:, None], planes)
+
+    new_frames = dict(
+        y=put(frames["y"], new_y, parity),
+        u=put(frames["u"], new_u, parity),
+        v=put(frames["v"], new_v, parity),
+        parity=jnp.where(live, 1 - parity, parity),
+    )
+    presented = dict(
+        y=jnp.where(live[:, None, None], new_y, cur_y),
+        u=jnp.where(live[:, None, None], new_u, cur_u),
+        v=jnp.where(live[:, None, None], new_v, cur_v),
+    )
+    info = dict(error=st["error"], iters=iters, ok=ok)
+    return new_frames, presented, info
+
+
+# ---------------------------------------------------------------------------
+# Convenience: full-ES batched decode (testing / small jobs)
+# ---------------------------------------------------------------------------
+
+def decode_es_batched(streams: list[bytes], words_per_lane=None,
+                      max_steps=None):
+    """Decode N elementary streams in lock-step; returns per-lane frame
+    lists.  Streams must share dimensions; lanes shorter than the longest
+    stream are starved (present their last frame)."""
+    parsed = [parse_es(s) for s in streams]
+    seq = parsed[0][0]
+    for sq, _ in parsed:
+        assert (sq.width, sq.height) == (seq.width, seq.height)
+    npics = max(len(p) for _, p in parsed)
+    N = len(streams)
+    frames = init_frame_state(N, seq.mb_width * 16, seq.mb_height * 16)
+    outs = [[] for _ in range(N)]
+    # uniform shapes across the whole run -> one XLA compilation
+    all_pics = [p for _, ps in parsed for p in ps]
+    if words_per_lane is None:
+        words_per_lane = max(
+            (len(p.payload) + 3) // 4 + 4 for p in all_pics)
+    uniform_slices = max(
+        max((len(p.slice_offsets) for p in all_pics), default=1), 1)
+    for k in range(npics):
+        batch_pics = [p[k] if k < len(p) else None for _, p in parsed]
+        b = make_picture_batch(batch_pics, words_per_lane=words_per_lane,
+                               max_slices=uniform_slices)
+        ms = max_steps or b["words"].shape[1] * 32
+        frames, presented, info = decode_picture_batch(
+            jnp.asarray(b["words"]), jnp.asarray(b["slice_starts"]),
+            jnp.asarray(b["slice_rows"]), jnp.asarray(b["n_slices"]),
+            jnp.asarray(b["pic_type"]), jnp.asarray(b["full_pel"]),
+            jnp.asarray(b["r_size"]), jnp.asarray(b["intra_q"]),
+            jnp.asarray(b["non_intra_q"]), jnp.asarray(b["active"]),
+            frames, mb_width=b["mb_width"], mb_height=b["mb_height"],
+            max_steps=int(ms))
+        py = np.asarray(presented["y"])
+        pu = np.asarray(presented["u"])
+        pv = np.asarray(presented["v"])
+        for i in range(N):
+            if batch_pics[i] is not None:
+                outs[i].append((py[i], pu[i], pv[i]))
+    return outs

@@ -1,0 +1,104 @@
+"""Batched bit-exact dequant + fixed-point 8x8 IDCT.
+
+The reference interleaves VLC decode, dequant and a scalar IDCT per block
+(/root/reference/src/player.cpp:999-1148,922-996).  Here the scanner
+(ops/vlc_scan.py) has already emitted RAW levels into dense raster-order
+block buffers, so dequant and the IDCT run as pure batched integer VPU
+math over [..., 8, 8] — no data-dependent control flow, fully fusable by
+XLA.
+
+All arithmetic is int32 with the reference's exact rounding:
+  * dequant: double+oddify+truncating-/16 (player.cpp:1110-1121),
+  * IDCT: 473/196/362 fixed-point butterflies, column pass unshifted,
+    row pass (+128)>>8 (player.cpp:922-996),
+  * the non-intra single-coefficient "DC shortcut" (player.cpp:1133-1140)
+    which rounds differently from the full IDCT and is selected via the
+    scanner's per-block final-n.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from espflix_tpu.core import vlc_tables as V
+
+
+def dequant_levels(levels, intra, qscale, qmat):
+    """Exact reference dequant, vectorized.
+
+    levels: int32[..., 64] raw levels (raster positions; intra DC at
+    position 0 holds the absolute DC value).
+    intra: bool[...] per block; qscale: int32[...]; qmat: int32[..., 64]
+    per-position quant matrix entries (already intra/non-intra selected).
+
+    Returns IDCT-ready int32[..., 64]: dequant * SCALE_DCT_Q, with intra
+    DC as dc<<8.
+    """
+    intra_b = intra[..., None]
+    v = levels * 2
+    sign = jnp.sign(v)
+    v = jnp.where(intra_b, v, v + sign)
+    num = v * qscale[..., None] * qmat
+    q = jnp.where(num < 0, -((-num) // 16), num // 16)  # trunc toward 0
+    q = jnp.where((q & 1) == 0, q - jnp.sign(q), q)
+    q = jnp.clip(q, -2048, 2047)
+    scale = jnp.asarray(V.SCALE_DCT_Q, jnp.int32)
+    b = q * scale
+    # intra DC: absolute value << 8, bypassing dequant (player.cpp:1065)
+    dc_col = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), jnp.zeros((63,), jnp.int32)])
+    b = jnp.where(intra_b & (dc_col == 1), levels << 8, b)
+    return b
+
+
+def idct_8x8(b):
+    """Exact fixed-point IDCT over int32[..., 8, 8] (batched)."""
+
+    def butterfly(m, final):
+        # m: [..., 8, 8]; transform over axis -2
+        c = [m[..., i, :] for i in range(8)]
+        b1 = c[4]
+        b3 = c[2] + c[6]
+        b4 = c[5] - c[3]
+        tmp1 = c[1] + c[7]
+        tmp2 = c[3] + c[5]
+        b6 = c[1] - c[7]
+        b7 = tmp1 + tmp2
+        m0 = c[0]
+        x4 = ((b6 * 473 - b4 * 196 + 128) >> 8) - b7
+        x0 = x4 - (((tmp1 - tmp2) * 362 + 128) >> 8)
+        x1 = m0 - b1
+        x2 = (((c[2] - c[6]) * 362 + 128) >> 8) - b3
+        x3 = m0 + b1
+        y3 = x1 + x2
+        y4 = x3 + b3
+        y5 = x1 - x2
+        y6 = x3 - b3
+        y7 = -x0 - ((b4 * 473 + b6 * 196 + 128) >> 8)
+        rows = [b7 + y4, x4 + y3, y5 - x0, y6 - y7,
+                y6 + y7, x0 + y5, y3 - x4, y4 - b7]
+        if final:
+            rows = [(r + 128) >> 8 for r in rows]
+        return jnp.stack(rows, axis=-2)
+
+    b = butterfly(b, final=False)                     # columns
+    b = butterfly(jnp.swapaxes(b, -1, -2), final=True)  # rows
+    return jnp.swapaxes(b, -1, -2)
+
+
+def block_residuals(levels64, intra, qscale, qmat, nfinal):
+    """levels -> spatial residual int32[..., 8, 8] with exact semantics.
+
+    nfinal: int32[...] final coefficient index count from the scanner;
+    0 = uncoded block (residual 0 for inter; never happens for intra).
+    The nfinal==1 non-intra path is the reference's add_block_dc shortcut:
+    residual = broadcast(b0 >> 8) (truncating, NOT the IDCT's +128
+    rounding).
+    """
+    b = dequant_levels(levels64, intra, qscale, qmat)
+    full = idct_8x8(b.reshape(*b.shape[:-1], 8, 8))
+    dc = (b[..., 0] >> 8)[..., None, None]
+    shortcut = (nfinal == 1)[..., None, None] & ~intra[..., None, None]
+    out = jnp.where(shortcut, jnp.broadcast_to(dc, full.shape), full)
+    uncoded = (nfinal == 0)[..., None, None]
+    return jnp.where(uncoded, 0, out)

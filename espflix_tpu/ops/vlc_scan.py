@@ -1,0 +1,557 @@
+"""Vectorized MPEG-1 slice scanner: N independent bitstreams per step.
+
+This is the TPU-native replacement for the reference's bit-serial decoder
+hot loop (/root/reference/src/player.cpp:1251-1316,999-1148).  Each batch
+lane is one stream's picture payload.  A lane-parallel FSM consumes ONE
+syntax element per lane per step:
+
+  * a single 32-bit window gather per lane covers every element
+    (max code 17 bits + max immediate field 16 bits <= 32);
+  * a single mega-LUT gather resolves any VLC in any state (all the
+    Annex-B tables concatenated with per-state base offsets);
+  * masked per-state transition math runs on the VPU;
+  * coefficients/macroblock records are emitted with flat scatters.
+
+The scan produces RAW levels plus per-MB metadata; dequantization, IDCT
+and motion compensation run afterwards as dense batched kernels
+(espflix_tpu/ops/idct.py, espflix_tpu/ops/mocomp.py) where the MXU/VPU
+can stream.
+
+States: see ST_* below.  Error containment: a malformed lane parks in
+ST_DONE with its error flag set and cannot poison other lanes
+(SURVEY.md 5.3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from espflix_tpu.core import vlc_tables as V
+
+# FSM states
+ST_DONE = 0
+ST_SLICE_HDR = 1
+ST_EXTRA = 2
+ST_MBADDR = 3
+ST_SKIP = 4
+ST_MBTYPE = 5
+ST_MVH = 6
+ST_MVV = 7
+ST_CBP = 8
+ST_DC = 9
+ST_COEF = 10
+NUM_STATES = 11
+
+# unified LUT entry: kind(2b @24) | bits(5b @18) | run(6b @12) | val12(@0)
+K_INVALID, K_COEFF, K_EOB, K_ESCAPE = 0, 1, 2, 3
+
+# MB kinds in the output record
+MB_STALE, MB_SKIP, MB_INTER, MB_INTRA = 0, 1, 2, 3
+
+
+def _hdr_to_unified(lut: np.ndarray) -> np.ndarray:
+    """Convert a (len<<16|val16) header LUT to the unified DCT packing,
+    kind=K_COEFF, value in the 12-bit signed field."""
+    out = np.zeros_like(lut)
+    valid = lut != 0
+    length = (lut >> 16) & 0xFF
+    val = lut & 0xFFFF
+    val = np.where(val >= 0x8000, val - 0x10000, val)
+    assert ((val >= -2048) & (val < 2048) | ~valid).all()
+    out = np.where(valid,
+                   (K_COEFF << 24) | (length << 18) | (val & 0xFFF),
+                   0).astype(np.int32)
+    return out
+
+
+@functools.cache
+def _mega_lut_np():
+    parts = [
+        ("MBADDR", _hdr_to_unified(V.LUT_MB_ADDR), 11),
+        ("MBTYPE_I", _hdr_to_unified(V.LUT_MB_TYPE_I), 6),
+        ("MBTYPE_P", _hdr_to_unified(V.LUT_MB_TYPE_P), 6),
+        ("CBP", _hdr_to_unified(V.LUT_CBP), 9),
+        ("MOTION", _hdr_to_unified(V.LUT_MOTION), 11),
+        ("DC_LUM", _hdr_to_unified(V.LUT_DC_LUM), 8),
+        ("DC_CHROM", _hdr_to_unified(V.LUT_DC_CHROM), 8),
+        ("DCT_FIRST", V.LUT_DCT_FIRST, 17),
+        ("DCT_NEXT", V.LUT_DCT_NEXT, 17),
+    ]
+    bases = {}
+    bits = {}
+    offset = 0
+    arrs = []
+    for name, arr, b in parts:
+        bases[name] = offset
+        bits[name] = b
+        arrs.append(arr.astype(np.int32))
+        offset += len(arr)
+    return np.concatenate(arrs), bases, bits
+
+
+@functools.cache
+def _next_block_lut_np():
+    """rem(6-bit cbp mask of remaining blocks) -> index of next coded
+    block (highest set bit; block i has bit 0x20>>i); 6 if none."""
+    out = np.full(64, 6, np.int32)
+    for rem in range(1, 64):
+        out[rem] = 5 - rem.bit_length() + 1
+    return out
+
+
+ZZ_NP = V.ZIG_ZAG.astype(np.int32)
+
+
+def scanner_constants():
+    """Device-resident constant buffers for the scanner."""
+    lut, bases, bits = _mega_lut_np()
+    return dict(
+        mega_lut=jnp.asarray(lut),
+        next_blk=jnp.asarray(_next_block_lut_np()),
+        zigzag=jnp.asarray(ZZ_NP),
+        bases=bases,
+        bits=bits,
+    )
+
+
+def _peek_window(words_flat, lane_base, bitpos):
+    """32 bits starting at bitpos (MSB-aligned), as uint32."""
+    w_idx = lane_base + (bitpos >> 5)
+    off = (bitpos & 31).astype(jnp.uint32)
+    w0 = words_flat[w_idx]
+    w1 = words_flat[w_idx + 1]
+    hi = (w0 << off)
+    lo = jnp.where(off == 0, jnp.uint32(0), w1 >> (jnp.uint32(32) - off))
+    return hi | lo
+
+
+def _bits_of(window, start, n):
+    """n bits of the 32-bit window starting at bit `start` (from MSB).
+    start/n may be traced int32; result int32.  n==0 yields junk (callers
+    guard); the shift amount is clamped to stay defined."""
+    start = jnp.asarray(start, jnp.int32).astype(jnp.uint32)
+    nn = jnp.asarray(n, jnp.int32)
+    sh = jnp.clip(32 - nn, 0, 31).astype(jnp.uint32)
+    return ((window << start) >> sh).astype(jnp.int32)
+
+
+def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
+    """Returns step(carry) -> carry for one symbol per lane.
+
+    Carry pytree:
+      words_flat uint32[N*W]
+      st: dict of int32[N] state vars
+      out: dict of output buffers (flat, with a trash slot at the end)
+    """
+    mega = consts["mega_lut"]
+    next_blk_lut = consts["next_blk"]
+    zz = consts["zigzag"]
+    B = consts["bases"]
+    MB6 = mb_count * 6
+    COEF_STRIDE = mb_count * 384
+
+    def step(carry):
+        words_flat, st, out = carry
+        N = st["state"].shape[0]
+        lanes = jnp.arange(N, dtype=jnp.int32)
+        lane_base = lanes * words_per_lane
+
+        state = st["state"]
+        bitpos = st["bitpos"]
+        win = _peek_window(words_flat, lane_base, bitpos)
+        peek17 = (win >> jnp.uint32(15)).astype(jnp.int32)
+        peek23_zero = (win >> jnp.uint32(9)) == 0
+
+        # ------- unified LUT lookup (valid in VLC states) ----------------
+        is_p = st["pic_type"] == 2
+        lut_base = jnp.select(
+            [state == ST_MBADDR,
+             state == ST_MBTYPE,
+             state == ST_CBP,
+             (state == ST_MVH) | (state == ST_MVV),
+             state == ST_DC,
+             state == ST_COEF],
+            [jnp.full_like(state, B["MBADDR"]),
+             jnp.where(is_p, B["MBTYPE_P"], B["MBTYPE_I"]),
+             jnp.full_like(state, B["CBP"]),
+             jnp.full_like(state, B["MOTION"]),
+             jnp.where(st["blk"] < 4, B["DC_LUM"], B["DC_CHROM"]),
+             jnp.where(st["n"] == 0, B["DCT_FIRST"], B["DCT_NEXT"])],
+            default=jnp.zeros_like(state))
+        lut_bits = jnp.select(
+            [state == ST_MBADDR,
+             state == ST_MBTYPE,
+             state == ST_CBP,
+             (state == ST_MVH) | (state == ST_MVV),
+             state == ST_DC,
+             state == ST_COEF],
+            [jnp.full_like(state, 11), jnp.full_like(state, 6),
+             jnp.full_like(state, 9), jnp.full_like(state, 11),
+             jnp.full_like(state, 8), jnp.full_like(state, 17)],
+            default=jnp.full_like(state, 17))
+        idx = lut_base + (peek17 >> (17 - lut_bits))
+        entry = mega[idx]
+        e_kind = (entry >> 24) & 0x3
+        e_bits = (entry >> 18) & 0x1F
+        e_run = (entry >> 12) & 0x3F
+        e_val = entry & 0xFFF
+        e_val = jnp.where(e_val >= 0x800, e_val - 0x1000, e_val)
+
+        # defaults: stay put
+        new = {k: v for k, v in st.items()}
+        consumed = jnp.zeros_like(bitpos)
+        error = st["error"]
+
+        # scatters (masked via trash index)
+        coef_idx = jnp.full((N,), COEF_STRIDE, jnp.int32)   # trash slot
+        coef_val = jnp.zeros((N,), jnp.int32)
+        rec_idx = jnp.full((N,), mb_count, jnp.int32)
+        rec_val = jnp.zeros((N,), jnp.int32)
+        nfin_idx = jnp.full((N,), MB6, jnp.int32)
+        nfin_val = jnp.zeros((N,), jnp.int32)
+
+        def sel(mask, a, b):
+            return jnp.where(mask, a, b)
+
+        # ---------- helpers ------------------------------------------------
+        def advance_mb(mb_x, mb_y):
+            nx = mb_x + 1
+            wrap = nx >= mb_width
+            return sel(wrap, nx - mb_width, nx), sel(wrap, mb_y + 1, mb_y)
+
+        def mb_index(mb_x, mb_y):
+            return jnp.clip(mb_y * mb_width + mb_x, 0, mb_count - 1)
+
+        # ================== ST_SLICE_HDR ===================================
+        m = state == ST_SLICE_HDR
+        qs5 = _bits_of(win, jnp.zeros_like(bitpos), 5)
+        extra = _bits_of(win, jnp.full_like(bitpos, 5), 1)
+        new["qscale"] = sel(m, qs5, new["qscale"])
+        new["y_dc"] = sel(m, 128, new["y_dc"])
+        new["u_dc"] = sel(m, 128, new["u_dc"])
+        new["v_dc"] = sel(m, 128, new["v_dc"])
+        new["mv_h"] = sel(m, 0, new["mv_h"])
+        new["mv_v"] = sel(m, 0, new["mv_v"])
+        new["first_mb"] = sel(m, 1, new["first_mb"])
+        new["inc_acc"] = sel(m, 0, new["inc_acc"])
+        consumed = sel(m, 6, consumed)
+        new["state"] = sel(m, sel(extra == 1, ST_EXTRA, ST_MBADDR),
+                           new["state"])
+
+        # ================== ST_EXTRA =======================================
+        m = state == ST_EXTRA
+        nxt = _bits_of(win, jnp.full_like(bitpos, 8), 1)
+        consumed = sel(m, 9, consumed)
+        new["state"] = sel(m, sel(nxt == 1, ST_EXTRA, ST_MBADDR),
+                           new["state"])
+
+        # ================== ST_MBADDR ======================================
+        # slice-done / next-slice handling happens here (reference checks
+        # slice_done() at the top of each MB iteration, player.cpp:1266)
+        m = state == ST_MBADDR
+        done_slice = m & peek23_zero
+        more_slices = st["slice_idx"] + 1 < st["n_slices"]
+        nsl = st["slice_idx"] + 1
+        safe_nsl = jnp.clip(nsl, 0, st["slice_starts"].shape[1] - 1)
+        nsl_start = jnp.take_along_axis(
+            st["slice_starts"], safe_nsl[:, None], axis=1)[:, 0]
+        nsl_row = jnp.take_along_axis(
+            st["slice_rows"], safe_nsl[:, None], axis=1)[:, 0]
+        new["slice_idx"] = sel(done_slice, nsl, new["slice_idx"])
+        new["bitpos"] = st["bitpos"]  # consumed applied at the end
+        new["state"] = sel(done_slice,
+                           sel(more_slices, ST_SLICE_HDR, ST_DONE),
+                           new["state"])
+        # entering a new slice: position + mb coords
+        new["mb_x"] = sel(done_slice, -1, new["mb_x"])
+        new["mb_y"] = sel(done_slice, nsl_row, new["mb_y"])
+        slice_jump = done_slice & more_slices
+
+        m_addr = m & ~done_slice
+        bad = m_addr & (e_kind == K_INVALID)
+        is_stuff = e_val == V.MB_STUFFING
+        is_esc = e_val == V.MB_ESCAPE
+        consumed = sel(m_addr, e_bits, consumed)
+        new["inc_acc"] = sel(m_addr & is_esc, st["inc_acc"] + 33,
+                             new["inc_acc"])
+        got = m_addr & ~is_stuff & ~is_esc & ~bad
+        increment = st["inc_acc"] + e_val
+        # first MB of a slice advances exactly one (reference quirk)
+        eff_inc = sel(st["first_mb"] == 1, 1, increment)
+        ax, ay = advance_mb(st["mb_x"], st["mb_y"])
+        one = got & (eff_inc == 1)
+        multi = got & (eff_inc > 1)
+        new["mb_x"] = sel(one, ax, new["mb_x"])
+        new["mb_y"] = sel(one, ay, new["mb_y"])
+        new["state"] = sel(one, ST_MBTYPE, new["state"])
+        # multi: reset predictors, enter SKIP with pending count
+        for k, vdef in (("y_dc", 128), ("u_dc", 128), ("v_dc", 128),
+                        ("mv_h", 0), ("mv_v", 0)):
+            new[k] = sel(multi, vdef, new[k])
+        new["pending_skip"] = sel(multi, eff_inc - 1, new["pending_skip"])
+        new["state"] = sel(multi, ST_SKIP, new["state"])
+        new["inc_acc"] = sel(got, 0, new["inc_acc"])
+        new["first_mb"] = sel(got, 0, new["first_mb"])
+        error = error | bad
+        new["state"] = sel(bad, ST_DONE, new["state"])
+
+        # ================== ST_SKIP ========================================
+        m = state == ST_SKIP
+        ax, ay = advance_mb(st["mb_x"], st["mb_y"])
+        new["mb_x"] = sel(m, ax, new["mb_x"])
+        new["mb_y"] = sel(m, ay, new["mb_y"])
+        mi = mb_index(ax, ay)
+        rec_idx = sel(m, mi, rec_idx)
+        rec_val = sel(m, MB_SKIP, rec_val)  # kind in low 2 bits, rest 0
+        left = st["pending_skip"] - 1
+        new["pending_skip"] = sel(m, left, new["pending_skip"])
+        new["state"] = sel(m & (left == 0), ST_MBTYPE, new["state"])
+        # (skips consume no bits; when count hits 0 the NEXT step decodes
+        # mb_type after one more advance)
+        adv2x, adv2y = advance_mb(ax, ay)
+        new["mb_x"] = sel(m & (left == 0), adv2x, new["mb_x"])
+        new["mb_y"] = sel(m & (left == 0), adv2y, new["mb_y"])
+
+        # ================== ST_MBTYPE ======================================
+        m = state == ST_MBTYPE
+        bad = m & (e_kind == K_INVALID)
+        mb_type = e_val
+        q_flag = (mb_type & V.MBT_QUANT) != 0
+        qs_new = _bits_of(win, e_bits, 5)
+        consumed = sel(m, e_bits + sel(q_flag, 5, 0), consumed)
+        new["qscale"] = sel(m & q_flag & ~bad, qs_new, new["qscale"])
+        intra = (mb_type & V.MBT_INTRA) != 0
+        motion = (mb_type & V.MBT_MOTION_F) != 0
+        pattern = (mb_type & V.MBT_PATTERN) != 0
+        new["mb_type"] = sel(m, mb_type, new["mb_type"])
+        # intra: reset MVs, all 6 blocks, begin with DC of block 0
+        mm = m & ~bad & intra
+        new["mv_h"] = sel(mm, 0, new["mv_h"])
+        new["mv_v"] = sel(mm, 0, new["mv_v"])
+        new["cbp"] = sel(mm, 63, new["cbp"])
+        new["blk"] = sel(mm, 0, new["blk"])
+        new["n"] = sel(mm, 0, new["n"])
+        new["state"] = sel(mm, ST_DC, new["state"])
+        # non-intra: reset DC preds
+        mni = m & ~bad & ~intra
+        for k in ("y_dc", "u_dc", "v_dc"):
+            new[k] = sel(mni, 128, new[k])
+        new["state"] = sel(mni & motion, ST_MVH, new["state"])
+        no_mv = mni & ~motion
+        new["mv_h"] = sel(no_mv, 0, new["mv_h"])
+        new["mv_v"] = sel(no_mv, 0, new["mv_v"])
+        new["state"] = sel(no_mv & pattern, ST_CBP, new["state"])
+        new["state"] = sel(no_mv & ~pattern, ST_MBADDR, new["state"])
+        # record emission for MBs whose header is complete here
+        mi = mb_index(st["mb_x"], st["mb_y"])
+        emit_here = (mm | no_mv)
+        kind_val = sel(intra, MB_INTRA, MB_INTER)
+        packed = kind_val | (new["qscale"] << 2)  # mv 0 in both cases here
+        rec_idx = sel(emit_here, mi, rec_idx)
+        rec_val = sel(emit_here, packed, rec_val)
+        error = error | bad
+        new["state"] = sel(bad, ST_DONE, new["state"])
+
+        # ================== ST_MVH / ST_MVV ================================
+        for stv, key in ((ST_MVH, "mv_h"), (ST_MVV, "mv_v")):
+            m = state == stv
+            bad = m & (e_kind == K_INVALID)
+            code = e_val
+            r_size = st["r_size"]
+            scale = jnp.int32(1) << r_size
+            has_resid = (code != 0) & (scale != 1)
+            resid = _bits_of(win, e_bits, r_size.astype(jnp.int32))
+            # _bits_of with traced width: (win << start) >> (32 - n)
+            mag = ((jnp.abs(code) - 1) << r_size) + resid + 1
+            d = sel(has_resid, sel(code < 0, -mag, mag), code)
+            mval = st[key] + d
+            mval = sel(mval > (scale << 4) - 1, mval - (scale << 5), mval)
+            mval = sel(mval < -(scale << 4), mval + (scale << 5), mval)
+            consumed = sel(m, e_bits + sel(has_resid, r_size, 0), consumed)
+            new[key] = sel(m & ~bad, mval, new[key])
+            error = error | bad
+            new["state"] = sel(bad, ST_DONE, new["state"])
+        m = state == ST_MVH
+        new["state"] = sel(m & (new["state"] == ST_MVH), ST_MVV,
+                           new["state"])
+        m = state == ST_MVV
+        mvv_done = m & (new["state"] == ST_MVV)
+        pattern = (st["mb_type"] & V.MBT_PATTERN) != 0
+        new["state"] = sel(mvv_done & pattern, ST_CBP, new["state"])
+        new["state"] = sel(mvv_done & ~pattern, ST_MBADDR, new["state"])
+        # emit record with final MVs (effective half-pel incl. full_pel)
+        mi = mb_index(st["mb_x"], st["mb_y"])
+        mvh_eff = new["mv_h"] << st["full_pel"]
+        mvv_eff = new["mv_v"] << st["full_pel"]
+        packed = (MB_INTER | (st["qscale"] << 2)
+                  | ((mvh_eff & 0xFFF) << 7) | ((mvv_eff & 0xFFF) << 19))
+        rec_idx = sel(mvv_done, mi, rec_idx)
+        rec_val = sel(mvv_done, packed, rec_val)
+
+        # ================== ST_CBP =========================================
+        m = state == ST_CBP
+        bad = m & (e_kind == K_INVALID)
+        consumed = sel(m, e_bits, consumed)
+        cbp = e_val
+        new["cbp"] = sel(m & ~bad, cbp, new["cbp"])
+        first_blk = next_blk_lut[jnp.clip(cbp, 0, 63)]
+        # cbp from the table is 1..63 so first_blk < 6 always
+        new["blk"] = sel(m & ~bad, first_blk, new["blk"])
+        new["n"] = sel(m & ~bad, 0, new["n"])
+        new["state"] = sel(m & ~bad, ST_COEF, new["state"])
+        error = error | bad
+        new["state"] = sel(bad, ST_DONE, new["state"])
+
+        # ================== ST_DC ==========================================
+        m = state == ST_DC
+        bad = m & (e_kind == K_INVALID)
+        dc_size = e_val
+        delta = _bits_of(win, e_bits, dc_size)  # dc_size may be 0 -> junk
+        # dc_delta semantics (player.cpp:1053-1057)
+        top = (delta & (jnp.int32(1) << jnp.maximum(dc_size - 1, 0))) != 0
+        neg = ((jnp.int32(-1) << dc_size) | (delta + 1))
+        pred = jnp.select(
+            [st["blk"] < 4, st["blk"] == 4],
+            [st["y_dc"], st["u_dc"]], default=st["v_dc"])
+        dc = sel(dc_size == 0, pred, pred + sel(top, delta, neg))
+        consumed = sel(m, e_bits + dc_size, consumed)
+        upd = m & ~bad
+        new["y_dc"] = sel(upd & (st["blk"] < 4), dc, new["y_dc"])
+        new["u_dc"] = sel(upd & (st["blk"] == 4), dc, new["u_dc"])
+        new["v_dc"] = sel(upd & (st["blk"] == 5), dc, new["v_dc"])
+        # emit DC as raw value at block position 0
+        mi = mb_index(st["mb_x"], st["mb_y"])
+        cidx = mi * 384 + st["blk"] * 64
+        coef_idx = sel(upd, cidx, coef_idx)
+        coef_val = sel(upd, dc, coef_val)
+        new["n"] = sel(upd, 1, new["n"])
+        new["state"] = sel(upd, ST_COEF, new["state"])
+        error = error | bad
+        new["state"] = sel(bad, ST_DONE, new["state"])
+
+        # ================== ST_COEF ========================================
+        m = state == ST_COEF
+        bad = m & (e_kind == K_INVALID)
+        is_eob = e_kind == K_EOB
+        is_esc = e_kind == K_ESCAPE
+        # escape immediate level (8 or 16 bits after the 12-bit prefix)
+        v8 = _bits_of(win, e_bits, 8)
+        v16lo = _bits_of(win, e_bits + 8, 8)
+        esc_level = jnp.select(
+            [v8 == 0, v8 == 128, v8 > 128],
+            [v16lo, v16lo - 256, v8 - 256], default=v8)
+        esc_extra = sel((v8 == 0) | (v8 == 128), 16, 8)
+        level = sel(is_esc, esc_level, e_val)
+        nn = st["n"] + e_run
+        oob = m & ~bad & ~is_eob & (nn >= 64)
+        zz_pos = zz[jnp.clip(nn, 0, 63)]
+        consumed = sel(m, e_bits + sel(is_esc, esc_extra, 0), consumed)
+        emit = m & ~bad & ~is_eob & ~oob
+        mi = mb_index(st["mb_x"], st["mb_y"])
+        cidx = mi * 384 + st["blk"] * 64 + zz_pos
+        coef_idx = sel(emit, cidx, coef_idx)
+        coef_val = sel(emit, level, coef_val)
+        new["n"] = sel(emit, nn + 1, new["n"])
+        # EOB: store final n, advance to next coded block or end MB
+        meob = m & ~bad & is_eob
+        nfin_idx = sel(meob, mi * 6 + st["blk"], nfin_idx)
+        nfin_val = sel(meob, st["n"], nfin_val)
+        rem = st["cbp"] & ((jnp.int32(0x20) >> st["blk"]) - 1)
+        nb = next_blk_lut[jnp.clip(rem, 0, 63)]
+        have_more = nb < 6
+        intra = (st["mb_type"] & V.MBT_INTRA) != 0
+        new["blk"] = sel(meob & have_more, nb, new["blk"])
+        new["n"] = sel(meob & have_more, 0, new["n"])
+        new["state"] = sel(meob & have_more,
+                           sel(intra, ST_DC, ST_COEF), new["state"])
+        new["state"] = sel(meob & ~have_more, ST_MBADDR, new["state"])
+        error = error | bad | oob
+        new["state"] = sel(bad | oob, ST_DONE, new["state"])
+
+        # ---------- apply bit consumption / slice jumps --------------------
+        live = state != ST_DONE
+        bp = bitpos + sel(live, consumed, 0)
+        bp = sel(slice_jump, nsl_start, bp)
+        new["bitpos"] = bp
+        new["error"] = error
+
+        # ---------- scatters ------------------------------------------------
+        coeffs = out["coeffs"]
+        flat_ci = lanes * (COEF_STRIDE + 1) + coef_idx
+        coeffs = coeffs.at[flat_ci].set(coef_val.astype(jnp.int16),
+                                        mode="drop")
+        recs = out["recs"].at[lanes * (mb_count + 1) + rec_idx].set(
+            rec_val, mode="drop")
+        nfinal = out["nfinal"].at[lanes * (MB6 + 1) + nfin_idx].set(
+            nfin_val, mode="drop")
+        out = dict(coeffs=coeffs, recs=recs, nfinal=nfinal)
+        return (words_flat, new, out)
+
+    return step
+
+
+def run_scan(words: jnp.ndarray, init_state: dict, mb_width: int,
+             mb_count: int, max_steps: int):
+    """Run the FSM to completion (or max_steps).  words: uint32[N, W].
+
+    Returns (coeffs int16[N, mb_count*384], recs int32[N, mb_count],
+    nfinal int32[N, mb_count*6], final_state)."""
+    N, W = words.shape
+    consts = scanner_constants()
+    step = make_scan_step(consts, mb_width, mb_count, W)
+    MB6 = mb_count * 6
+
+    out = dict(
+        coeffs=jnp.zeros((N * (mb_count * 384 + 1),), jnp.int16),
+        recs=jnp.zeros((N * (mb_count + 1),), jnp.int32),
+        nfinal=jnp.zeros((N * (MB6 + 1),), jnp.int32),
+    )
+    carry = (words.reshape(-1), init_state, out)
+
+    def cond(c_i):
+        c, i = c_i
+        return (i < max_steps) & jnp.any(c[1]["state"] != ST_DONE)
+
+    def body(c_i):
+        c, i = c_i
+        return (step(c), i + 1)
+
+    (words_flat, st, out), iters = jax.lax.while_loop(
+        cond, body, (carry, jnp.int32(0)))
+
+    coeffs = out["coeffs"].reshape(N, -1)[:, :mb_count * 384]
+    recs = out["recs"].reshape(N, -1)[:, :mb_count]
+    nfinal = out["nfinal"].reshape(N, -1)[:, :MB6]
+    return coeffs, recs, nfinal, st, iters
+
+
+def initial_state(n_lanes: int, slice_starts, slice_rows, n_slices,
+                  pic_type, full_pel, r_size):
+    """Build the SoA init state. Lanes with n_slices==0 start DONE."""
+    z = jnp.zeros((n_lanes,), jnp.int32)
+    first_start = slice_starts[:, 0]
+    first_row = slice_rows[:, 0]
+    alive = n_slices > 0
+    return dict(
+        state=jnp.where(alive, ST_SLICE_HDR, ST_DONE).astype(jnp.int32),
+        bitpos=jnp.where(alive, first_start, 0).astype(jnp.int32),
+        slice_idx=z,
+        slice_starts=slice_starts.astype(jnp.int32),
+        slice_rows=slice_rows.astype(jnp.int32),
+        n_slices=n_slices.astype(jnp.int32),
+        pic_type=pic_type.astype(jnp.int32),
+        full_pel=full_pel.astype(jnp.int32),
+        r_size=r_size.astype(jnp.int32),
+        mb_x=z - 1,
+        mb_y=jnp.where(alive, first_row, 0).astype(jnp.int32),
+        qscale=z + 1,
+        y_dc=z + 128, u_dc=z + 128, v_dc=z + 128,
+        mv_h=z, mv_v=z,
+        mb_type=z, cbp=z, blk=z, n=z,
+        pending_skip=z, inc_acc=z, first_mb=z + 1,
+        error=jnp.zeros((n_lanes,), jnp.bool_),
+    )
