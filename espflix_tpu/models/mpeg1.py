@@ -229,17 +229,18 @@ def _pin(x):
     return jnp.clip(x, 0, 248)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("mb_width", "mb_height", "max_steps"))
-def decode_picture_batch(words, slice_starts, slice_rows, n_slices,
-                         pic_type, full_pel, r_size, intra_q, non_intra_q,
-                         active, frames, *, mb_width: int, mb_height: int,
-                         max_steps: int):
+def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
+                        pic_type, full_pel, r_size, intra_q, non_intra_q,
+                        active, frames, *, mb_width: int, mb_height: int,
+                        max_steps: int):
     """Decode one picture per lane; returns (new_frames, presented, info).
 
     presented: dict(y,u,v) uint8 planes of the just-decoded pictures
     (lanes not active return their previous current plane).
+
+    Pure lane-local function: safe to run whole (single shard) or inside
+    shard_map over a 'streams' mesh axis (each shard decodes its local
+    lanes; no cross-lane communication exists anywhere in the decoder).
     """
     N = words.shape[0]
     mb_count = mb_width * mb_height
@@ -321,8 +322,14 @@ def decode_picture_batch(words, slice_starts, slice_rows, n_slices,
         u=jnp.where(live[:, None, None], new_u, cur_u),
         v=jnp.where(live[:, None, None], new_v, cur_v),
     )
-    info = dict(error=st["error"], iters=iters, ok=ok)
+    info = dict(error=st["error"], ok=ok,
+                iters=jnp.broadcast_to(iters, (N,)))
     return new_frames, presented, info
+
+
+decode_picture_batch = functools.partial(
+    jax.jit, static_argnames=("mb_width", "mb_height", "max_steps"))(
+        decode_picture_impl)
 
 
 # ---------------------------------------------------------------------------

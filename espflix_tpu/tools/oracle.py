@@ -48,6 +48,39 @@ def available() -> bool:
         return False
 
 
+class SbcOracle:
+    """Stateful native SBC decoder (oracle/sbc_oracle.cpp)."""
+
+    def __init__(self):
+        L = lib()
+        L.sbc_oracle_new.restype = ctypes.c_void_p
+        L.sbc_oracle_decode.restype = ctypes.c_int
+        L.sbc_oracle_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
+        self._L = L
+        self._ctx = L.sbc_oracle_new()
+
+    def __del__(self):
+        try:
+            if self._ctx:
+                self._L.sbc_oracle_free(ctypes.c_void_p(self._ctx))
+                self._ctx = None
+        except Exception:
+            pass  # interpreter teardown
+
+    def decode_frame(self, frame: bytes):
+        """Returns (pcm int16 array, frame_len) or None on bad header."""
+        pcm = np.zeros(2 * 16 * 8, np.int16)
+        n = ctypes.c_int(0)
+        r = self._L.sbc_oracle_decode(
+            ctypes.c_void_p(self._ctx), frame, len(frame),
+            pcm.ctypes.data_as(ctypes.c_void_p), ctypes.byref(n))
+        if r < 0:
+            return None
+        return pcm[:n.value].copy(), r
+
+
 def decode_mpeg1(es: bytes, max_frames: int = 64,
                  width: int = 352, height: int = 192):
     """Decode an MPEG-1 video ES; returns (frames, pts) where frames is a

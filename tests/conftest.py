@@ -16,6 +16,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# This image's sitecustomize force-registers the 'axon' TPU platform and
+# overrides JAX_PLATFORMS; undo that so tests get the 8-device CPU mesh.
+# (Set ESPFLIX_TEST_TPU=1 to run the suite against the real chip.)
+if not os.environ.get("ESPFLIX_TEST_TPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
