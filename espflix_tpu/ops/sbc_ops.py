@@ -1,0 +1,146 @@
+"""Batched SBC decode primitives (device-side, exact).
+
+The reference decodes SBC frames scalar-serially
+(/root/reference/src/sbc_decoder.cpp).  Here everything is dense batched
+integer math over [N_frames, ...]:
+
+  * bit allocation: the spec's data-dependent do-while becomes a
+    fixed-trip masked loop (bounded by the bitslice range);
+  * sample unpacking needs NO FSM -- bit widths are known after
+    allocation, so per-sample bit offsets are a cumsum and extraction is
+    a two-word gather per sample;
+  * IQUANT's (sample<<scale)/(2^level-1) is computed with an exact
+    two-step int32 long division (level>=2 always, so quotients fit);
+  * the synthesis filterbank uses the V-history reformulation (verified
+    bit-exact against the ring/offset form): per block,
+    V = (SYN_8 @ src) >> 15 and PCM is a 10-tap dot over the V history
+    with int32 wraparound and +-0x7FFF clip.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from espflix_tpu.core import sbc_tables as T
+
+
+def bit_allocation_batched(sf, bitpool, frequency, allocation,
+                           max_iters: int = 48):
+    """Vectorized A2DP 12.6.3 allocation.
+
+    sf: int32[..., 8] scale factors (one channel per row; callers fold
+    channels into the batch).  bitpool/frequency/allocation: int32[...].
+    Returns bits int32[..., 8].
+    """
+    off8 = jnp.asarray(T.OFFSET_8, jnp.int32)  # [4, 8]
+    off = off8[frequency]                       # [..., 8]
+    loud = sf - off
+    loud = jnp.where(loud > 0, loud // 2, loud)
+    bitneed = jnp.where(allocation[..., None] == 1, sf,
+                        jnp.where(sf == 0, -5, loud))
+    max_bitneed = bitneed.max(axis=-1)
+
+    def slicecount_of(bitslice):
+        in_win = (bitneed > bitslice[..., None] + 1) & \
+                 (bitneed < bitslice[..., None] + 16)
+        eq = bitneed == bitslice[..., None] + 1
+        return in_win.sum(-1) + 2 * eq.sum(-1)
+
+    # do-while: bitslice--, bitcount+=slicecount, recompute slicecount,
+    # until bitcount+slicecount >= bitpool
+    def body(k, carry):
+        bitslice, bitcount, slicecount, done = carry
+        nbs = jnp.where(done, bitslice, bitslice - 1)
+        nbc = jnp.where(done, bitcount, bitcount + slicecount)
+        nsc = jnp.where(done, slicecount, slicecount_of(nbs))
+        ndone = done | (nbc + nsc >= bitpool)
+        return nbs, nbc, nsc, ndone
+
+    init = (max_bitneed + 1, jnp.zeros_like(max_bitneed),
+            jnp.zeros_like(max_bitneed),
+            jnp.zeros_like(max_bitneed, dtype=bool))
+    bitslice, bitcount, slicecount, done = jax.lax.fori_loop(
+        0, max_iters, body, init)
+
+    exact = bitcount + slicecount == bitpool
+    bitcount = jnp.where(exact, bitcount + slicecount, bitcount)
+    bitslice = jnp.where(exact, bitslice - 1, bitslice)
+
+    bits = jnp.where(bitneed < bitslice[..., None] + 2, 0,
+                     jnp.minimum(bitneed - bitslice[..., None], 16))
+
+    # first correction pass (sequential over subbands, carries bitcount)
+    for sb in range(8):
+        b = bits[..., sb]
+        can = bitcount < bitpool
+        inc1 = can & (b >= 2) & (b < 16)
+        set2 = can & ~inc1 & (bitneed[..., sb] == bitslice + 1) & \
+            (bitpool > bitcount + 1)
+        nb = jnp.where(inc1, b + 1, jnp.where(set2, 2, b))
+        bitcount = bitcount + jnp.where(inc1, 1, jnp.where(set2, 2, 0))
+        bits = bits.at[..., sb].set(nb)
+    # second correction pass
+    for sb in range(8):
+        b = bits[..., sb]
+        inc = (bitcount < bitpool) & (b < 16)
+        bits = bits.at[..., sb].set(jnp.where(inc, b + 1, b))
+        bitcount = bitcount + jnp.where(inc, 1, 0)
+    return bits
+
+
+def extract_bits(words, bit_offsets, widths):
+    """MSB-first bit fields from a big-endian uint32 word buffer.
+
+    words: uint32[..., W]; bit_offsets/widths: int32[..., K] (width<=17
+    not required here -- up to 16 used).  Returns int32[..., K].
+    """
+    w_idx = bit_offsets >> 5
+    off = (bit_offsets & 31).astype(jnp.uint32)
+    w0 = jnp.take_along_axis(words, w_idx, axis=-1)
+    w1 = jnp.take_along_axis(
+        words, jnp.minimum(w_idx + 1, words.shape[-1] - 1), axis=-1)
+    hi = w0 << off
+    lo = jnp.where(off == 0, jnp.uint32(0), w1 >> (jnp.uint32(32) - off))
+    win = hi | lo
+    sh = jnp.clip(32 - widths, 0, 31).astype(jnp.uint32)
+    return jnp.where(widths > 0, (win >> sh).astype(jnp.int32), 0)
+
+
+def iquant_exact(raw, level, scale):
+    """((raw<<1|1) << scale) // (2^level - 1) - (1<<scale), exact in
+    int32 (level is 0 or 2..16; result only used where level>0)."""
+    s = (raw << 1) | 1                      # <= 2^17 - 1
+    d = jnp.maximum((jnp.int32(1) << level) - 1, 1)
+    s1 = jnp.minimum(scale, 13)
+    s2 = scale - s1
+    a = s << s1                             # <= 2^30
+    q1 = a // d
+    r1 = a - q1 * d
+    q = (q1 << s2) + ((r1 << s2) // d)
+    return q - (jnp.int32(1) << scale)
+
+
+_I8 = (np.arange(8) + 8) & 0xF
+
+
+def synthesis_step(hist, src):
+    """One block: hist int32[..., 10, 16] (V[b-1]..V[b-10] after roll),
+    src int32[..., 8] subband samples.  Returns (new_hist, pcm[..., 8]).
+    All int32 with wraparound (matches -fwrapv native semantics)."""
+    syn = jnp.asarray(T.SYN_8, jnp.int32)          # [16, 8]
+    proto = jnp.asarray(T.PROTO_8, jnp.int32)      # [8, 10]
+    V = jnp.einsum("ks,...s->...k", syn, src,
+                   preferred_element_type=jnp.int32) >> 15
+    hist = jnp.concatenate([V[..., None, :], hist[..., :-1, :]], axis=-2)
+    even = hist[..., 0::2, :]                      # [..., 5, 16]
+    odd = hist[..., 1::2, :]
+    i8 = jnp.asarray(_I8)
+    # out[i] = sum_j even[j, i]*proto[i, 2j] + odd[j, (i+8)&15]*proto[i, 2j+1]
+    pe = jnp.einsum("...ji,ij->...i", even[..., :, :8],
+                    proto[:, 0::2], preferred_element_type=jnp.int32)
+    po = jnp.einsum("...ji,ij->...i", odd[..., :, i8],
+                    proto[:, 1::2], preferred_element_type=jnp.int32)
+    out = (pe + po) >> 15
+    return hist, jnp.clip(out, -0x7FFF, 0x7FFF)

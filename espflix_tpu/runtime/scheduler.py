@@ -1,0 +1,157 @@
+"""Fleet scheduler: N playback sessions through batched device decode.
+
+The scale-out runtime (SURVEY.md 2.3, 7.6): each lane is one
+PlayerSession (control plane + bounded network pump); every tick the
+fleet gathers at most one complete picture per playing lane, decodes the
+whole batch in one jitted device call (optionally shard_map'ed over a
+'streams' mesh), distributes presented frames/PTS back to sessions, and
+drains SBC audio through the batched audio decoder.  Starved or idle
+lanes are masked; a corrupt stream only parks its own lane
+(vlc_scan error containment).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from espflix_tpu.audio.sbc import SbcDecoder
+from espflix_tpu.models import mpeg1 as M
+from espflix_tpu.models import sbc as dsbc
+from espflix_tpu.runtime.player import PlayerSession, State
+
+
+@dataclass
+class TickResult:
+    video_lanes: np.ndarray          # bool[N] lanes with a new frame
+    y: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+    pts: np.ndarray                  # int64[N] (-1 if none)
+    errors: np.ndarray               # bool[N]
+    audio_lanes: np.ndarray          # bool[N] lanes with new PCM
+    pcm: np.ndarray | None           # int16[N, F*128]
+
+
+class Fleet:
+    def __init__(self, n_lanes: int, width: int = 352, height: int = 192,
+                 words_per_lane: int = 16384, mesh=None,
+                 audio_frames_per_tick: int = 4):
+        self.n = n_lanes
+        self.width, self.height = width, height
+        self.mb_w, self.mb_h = (width + 15) >> 4, (height + 15) >> 4
+        self.words_per_lane = words_per_lane
+        self.audio_F = audio_frames_per_tick
+        self.sessions: list[PlayerSession | None] = [None] * n_lanes
+        self.frames = M.init_frame_state(n_lanes, self.mb_w * 16,
+                                         self.mb_h * 16)
+        self.sbc_state = dsbc.init_state(n_lanes)
+        self.mesh = mesh
+        if mesh is not None:
+            from espflix_tpu.parallel import mesh as pmesh
+            self._decode = pmesh.make_sharded_decoder(
+                mesh, mb_width=self.mb_w, mb_height=self.mb_h,
+                max_steps=words_per_lane * 32)
+            self.frames = pmesh.shard_lane_tree(mesh, self.frames)
+        else:
+            import functools
+            self._decode = functools.partial(
+                M.decode_picture_batch, mb_width=self.mb_w,
+                mb_height=self.mb_h, max_steps=words_per_lane * 32)
+        self._probe = self._sbc_probe
+
+    @staticmethod
+    def _sbc_probe(data: bytes) -> int:
+        d = SbcDecoder()
+        r = d.parse_frame(data)
+        return r[1] if r else 0
+
+    def attach(self, lane: int, session: PlayerSession):
+        self.sessions[lane] = session
+
+    # -- one decode tick ------------------------------------------------
+    def tick(self, decode_audio: bool = True) -> TickResult:
+        n = self.n
+        pics = [None] * n
+        pts = np.full(n, -1, np.int64)
+        for i, s in enumerate(self.sessions):
+            if s is None:
+                continue
+            p = s.next_picture()
+            if p is None:
+                continue
+            if p.seq.width != self.width or p.seq.height != self.height \
+                    or len(p.payload) // 4 + 4 > self.words_per_lane:
+                continue  # geometry/oversize: skip this picture
+            pics[i] = p
+            pts[i] = p.pts
+
+        active_any = any(p is not None for p in pics)
+        errors = np.zeros(n, bool)
+        if active_any:
+            b = M.make_picture_batch(
+                pics, words_per_lane=self.words_per_lane,
+                max_slices=self.mb_h,
+                )
+            args = tuple(jnp.asarray(b[k]) for k in (
+                "words", "slice_starts", "slice_rows", "n_slices",
+                "pic_type", "full_pel", "r_size", "intra_q",
+                "non_intra_q", "active"))
+            if self.mesh is not None:
+                from espflix_tpu.parallel import mesh as pmesh
+                args = tuple(pmesh.shard_lane_tree(self.mesh, a)
+                             for a in args)
+            self.frames, presented, info = self._decode(*args, self.frames)
+            y = np.asarray(presented["y"])
+            u = np.asarray(presented["u"])
+            v = np.asarray(presented["v"])
+            errors = np.asarray(info["error"])
+        else:
+            h, w = self.mb_h * 16, self.mb_w * 16
+            y = np.zeros((n, h, w), np.uint8)
+            u = np.zeros((n, h // 2, w // 2), np.uint8)
+            v = np.zeros((n, h // 2, w // 2), np.uint8)
+
+        video_lanes = np.array([p is not None for p in pics])
+        for i, p in enumerate(pics):
+            if p is not None and self.sessions[i] is not None:
+                self.sessions[i].on_presented(p.pts)
+
+        # -- audio ---------------------------------------------------------
+        audio_lanes = np.zeros(n, bool)
+        pcm = None
+        if decode_audio:
+            F = self.audio_F
+            frame_lists = [[] for _ in range(n)]
+            for i, s in enumerate(self.sessions):
+                if s is None:
+                    continue
+                ring = s.feed.audio
+                if ring.discover(self._probe) and ring.frame_size:
+                    fr = ring.pop_frames(F)
+                    if len(fr) == F and ring.frame_size == 64:
+                        frame_lists[i] = fr
+                        audio_lanes[i] = True
+                    elif fr:
+                        # partial tail / nonstandard size: host fallback
+                        s._host_audio = getattr(s, "_host_audio",
+                                                SbcDecoder())
+                        out = [s._host_audio.decode_frame(f)[0]
+                               for f in fr]
+                        s.pcm_tail = np.concatenate(out) if out else None
+            if audio_lanes.any():
+                arr = np.zeros((n, F, 64), np.uint8)
+                for i in range(n):
+                    if audio_lanes[i]:
+                        for j, f in enumerate(frame_lists[i]):
+                            arr[i, j] = np.frombuffer(f, np.uint8)
+                words = jnp.asarray(dsbc.frames_to_words(arr))
+                out, self.sbc_state, err, _ = dsbc.decode_frames_batched(
+                    words, self.sbc_state, n_frames=F,
+                    active=jnp.asarray(audio_lanes))
+                pcm = np.asarray(out)
+
+        return TickResult(video_lanes, y, u, v, pts, errors,
+                          audio_lanes, pcm)

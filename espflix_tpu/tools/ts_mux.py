@@ -113,19 +113,35 @@ def mux_av(video_pictures: list[tuple[bytes, int]],
 def split_es_by_picture(es: bytes) -> tuple[bytes, list[bytes], bytes]:
     """Split an ES into (leading headers, per-picture chunks, trailer).
 
-    A picture chunk runs from its picture start code up to the next
-    picture/sequence start; the sequence_end code becomes the trailer.
+    A picture chunk starts at the sequence/GOP headers immediately
+    preceding its picture start code (so a seek to the chunk's PES finds
+    the sequence header -- the random-access property the reference's
+    indexer keys on, indexer.cpp:128-133) and runs to the start of the
+    next chunk; the sequence_end code becomes the trailer.
     """
     a = np.frombuffer(es, np.uint8)
     hits = np.where((a[:-3] == 0) & (a[1:-2] == 0) & (a[2:-1] == 1))[0]
-    pic_positions = [int(p) for p in hits if a[p + 3] == 0x00]
-    end_positions = [int(p) for p in hits if a[p + 3] == 0xB7]
-    if not pic_positions:
+    codes = [(int(p), int(a[p + 3])) for p in hits]
+    starts = []          # chunk start per picture
+    pending = None       # earliest header pos since last slice/picture
+    end = len(es)
+    for pos, code in codes:
+        if code in (0xB3, 0xB8, 0xB2, 0xB5):
+            if pending is None:
+                pending = pos
+        elif code == 0x00:
+            starts.append(pending if pending is not None else pos)
+            pending = None
+        elif code == 0xB7:
+            end = pos
+            break
+        else:  # slice
+            pending = None
+    if not starts:
         return es, [], b""
-    lead = es[:pic_positions[0]]
-    end = end_positions[0] if end_positions else len(es)
-    bounds = pic_positions + [end]
-    pics = [es[bounds[i]:bounds[i + 1]] for i in range(len(pic_positions))]
+    lead = es[:starts[0]]
+    bounds = starts + [end]
+    pics = [es[bounds[i]:bounds[i + 1]] for i in range(len(starts))]
     return lead, pics, es[end:]
 
 
