@@ -1,0 +1,69 @@
+"""Batched second-order delta-sigma (PDM) audio modulator.
+
+Exact semantics of the reference's software modulator
+(/root/reference/espflix.ino:73-107): per 48 kHz PCM sample, two
+modulator ticks of 16 PDM bits each (32x oversampling, 1.536 Mb/s
+1-bit stream); CRFB loop with a1=floor(0x7FFF*1.18940)=38973,
+a2=floor(0x7FFF*2.12340)=69577, low-pass i0=(i0+s)>>1, feedback
+i1 += i0 -+ a1 - (i2>>7); i2 += i1 -+ a2; bit = i2 >= 0.
+
+The recurrence is tiny (3 ints) but strictly sequential per lane; lanes
+vectorize on the VPU.  A lax.scan carries (i0, i1, i2) across calls so
+streams chunk arbitrarily (the "context parallel" story for the sample
+timeline, SURVEY.md 5.7).  PDM silence is the 0xAAAA pattern
+(espflix.ino:139).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+A1 = int(0x7FFF * 1.18940)   # 38973
+A2 = int(0x7FFF * 2.12340)   # 69577
+SILENCE_WORD = 0xAAAA
+
+
+def init_state(n_lanes: int):
+    return jnp.zeros((n_lanes, 3), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples",))
+def modulate(pcm, state, *, n_samples: int):
+    """pcm: int16/int32[N, T] -> (pdm uint16-in-int32[N, 2*T], state).
+
+    Each PCM sample yields two 16-bit PDM words (MSB-first bit order,
+    matching the reference's b<<=1 packing)."""
+    N, Tn = pcm.shape
+    assert Tn == n_samples
+    pcm32 = pcm.astype(jnp.int32) * 2
+
+    def half_step(carry, s_and_load):
+        i0, i1, i2 = carry
+        s = s_and_load
+        i0 = (i0 + s) >> 1
+        bits = jnp.zeros((N,), jnp.int32)
+        for _ in range(16):
+            pos = i2 >= 0
+            i1 = i1 + i0 + jnp.where(pos, -A1, A1) - (i2 >> 7)
+            i2 = i2 + i1 + jnp.where(pos, -A2, A2)
+            bits = (bits << 1) | pos.astype(jnp.int32)
+        return (i0, i1, i2), bits
+
+    # two modulator ticks per sample; the sample loads on the first
+    # (len&1 odd iteration in the reference, espflix.ino:86-88)
+    xs = jnp.repeat(pcm32, 2, axis=1).T.reshape(2 * Tn, N)
+
+    def step(carry, s):
+        return half_step(carry, s)
+
+    st = (state[:, 0], state[:, 1], state[:, 2])
+    st, words = jax.lax.scan(step, st, xs)
+    pdm = words.T  # [N, 2*T]
+    return pdm, jnp.stack(st, axis=1)
+
+
+def silence(n_lanes: int, n_words: int):
+    return jnp.full((n_lanes, n_words), SILENCE_WORD, jnp.int32)

@@ -1,0 +1,73 @@
+"""Output stage: decoded frames -> composite fields + PDM audio.
+
+Completes the on-device bitstream-to-display-signal path (BASELINE
+"north_star"): takes the fleet's decoded YUV planes and PCM, runs the
+batched composite synthesizer and the delta-sigma modulator, and
+maintains the per-lane OSD state (time readout, progress bar, fade
+countdown) exactly as the reference ISR does
+(/root/reference/src/video.cpp:1122-1198, espflix.cpp:862-884).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from espflix_tpu.ops import composite as C
+from espflix_tpu.ops import delta_sigma as DS
+from espflix_tpu.video.render import PAUSE, PLAY, FFWD, RWND, show_time
+
+
+class OutputStage:
+    def __init__(self, n_lanes: int, pal: bool = False):
+        self.n = n_lanes
+        self.pal = pal
+        self.osd = np.zeros((n_lanes, 16, 80), np.uint8)
+        self.blend = np.zeros(n_lanes, np.int32)
+        self.progress = np.zeros(n_lanes, np.int32)
+        self.frame_counter = np.zeros(n_lanes, np.int64)
+        self.last_seconds = np.full(n_lanes, -1, np.int64)
+        self.pdm_state = DS.init_state(n_lanes)
+
+    # -- OSD state (espflix.cpp:862-884) --------------------------------
+    def show_progress(self, lane: int, t: int = 180):
+        self.blend[lane] = t
+
+    def hide_progress(self, lane: int):
+        self.blend[lane] = 0
+
+    def update_progress(self, lane: int, main_pts: int, total_pts: int,
+                        state_icon: int = PLAY):
+        seconds = main_pts // 90000
+        if seconds != self.last_seconds[lane]:
+            show_time(self.osd[lane], int(seconds), state_icon)
+            self.last_seconds[lane] = seconds
+        if total_pts > 0:
+            self.progress[lane] = int(
+                main_pts * C.OSD_PROGRESS_W // total_pts)
+
+    @staticmethod
+    def icon_for(speed: int, paused: bool) -> int:
+        if speed == 0:
+            return PAUSE if paused else PLAY
+        return FFWD if speed > 0 else RWND
+
+    # -- synthesis ------------------------------------------------------
+    def synthesize(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """One field per lane: uint8[N, line_count, line_width]."""
+        parity = (self.frame_counter & 1).astype(np.int32)
+        fields = C.synthesize_field(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            jnp.asarray(parity), jnp.asarray(self.osd),
+            jnp.asarray(self.blend), jnp.asarray(self.progress),
+            pal=self.pal)
+        self.frame_counter += 1
+        # fade countdown (video.cpp:1193-1194)
+        self.blend = np.where(self.blend > 0, self.blend - 1, self.blend)
+        return np.asarray(fields)
+
+    def modulate(self, pcm: np.ndarray):
+        """PCM int16[N, T] -> PDM words uint16-in-int32[N, 2T]."""
+        out, self.pdm_state = DS.modulate(
+            jnp.asarray(pcm), self.pdm_state, n_samples=pcm.shape[1])
+        return np.asarray(out)

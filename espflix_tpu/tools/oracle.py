@@ -48,6 +48,44 @@ def available() -> bool:
         return False
 
 
+def composite_field(y, u, v, frame_parity=0, pal=False, osd=None,
+                    blend=0, progress=0):
+    """Golden composite field: uint8[line_count, line_width]."""
+    L = lib()
+    L.composite_field.argtypes = [ctypes.c_void_p] * 3 \
+        + [ctypes.c_int] * 2 + [ctypes.c_void_p] + [ctypes.c_int] * 2 \
+        + [ctypes.c_void_p]
+    lc, lw = ctypes.c_int(0), ctypes.c_int(0)
+    L.composite_geometry(1 if pal else 0, ctypes.byref(lc),
+                         ctypes.byref(lw))
+    out = np.zeros((lc.value, lw.value), np.uint8)
+    y = np.ascontiguousarray(y, np.uint8)
+    u = np.ascontiguousarray(u, np.uint8)
+    v = np.ascontiguousarray(v, np.uint8)
+    osd_p = None
+    if osd is not None:
+        osd = np.ascontiguousarray(osd, np.uint8)
+        osd_p = osd.ctypes.data
+    L.composite_field(y.ctypes.data, u.ctypes.data, v.ctypes.data,
+                      int(frame_parity), 1 if pal else 0, osd_p,
+                      int(blend), int(progress), out.ctypes.data)
+    return out
+
+
+def pdm_modulate(pcm, state=None):
+    """Golden PDM: (uint16[2*n], state int32[3])."""
+    L = lib()
+    L.pdm_modulate.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                               ctypes.c_void_p, ctypes.c_void_p]
+    pcm = np.ascontiguousarray(pcm, np.int16)
+    st = np.zeros(3, np.int32) if state is None \
+        else np.ascontiguousarray(state, np.int32).copy()
+    out = np.zeros(2 * len(pcm), np.uint16)
+    L.pdm_modulate(pcm.ctypes.data, len(pcm), st.ctypes.data,
+                   out.ctypes.data)
+    return out, st
+
+
 class SbcOracle:
     """Stateful native SBC decoder (oracle/sbc_oracle.cpp)."""
 
