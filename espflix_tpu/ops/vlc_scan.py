@@ -118,12 +118,17 @@ def scanner_constants():
     )
 
 
-def _peek_window(words_flat, lane_base, bitpos):
-    """32 bits starting at bitpos (MSB-aligned), as uint32."""
-    w_idx = lane_base + (bitpos >> 5)
+def _peek_window(words, bitpos):
+    """32 bits starting at bitpos (MSB-aligned), as uint32.
+
+    words: uint32[N, W]; bitpos int32[N].  Uses take_along_axis so the
+    gather carries an explicit batch dimension -- XLA vectorizes it for
+    divergent per-lane positions (a flat [N*W] gather does not)."""
+    w_idx = bitpos >> 5
     off = (bitpos & 31).astype(jnp.uint32)
-    w0 = words_flat[w_idx]
-    w1 = words_flat[w_idx + 1]
+    pair = jnp.stack([w_idx, w_idx + 1], axis=1)
+    got = jnp.take_along_axis(words, pair, axis=1)
+    w0, w1 = got[:, 0], got[:, 1]
     hi = (w0 << off)
     lo = jnp.where(off == 0, jnp.uint32(0), w1 >> (jnp.uint32(32) - off))
     return hi | lo
@@ -155,14 +160,12 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
     COEF_STRIDE = mb_count * 384
 
     def step(carry):
-        words_flat, st, out = carry
+        words, st, out = carry
         N = st["state"].shape[0]
-        lanes = jnp.arange(N, dtype=jnp.int32)
-        lane_base = lanes * words_per_lane
 
         state = st["state"]
         bitpos = st["bitpos"]
-        win = _peek_window(words_flat, lane_base, bitpos)
+        win = _peek_window(words, bitpos)
         peek17 = (win >> jnp.uint32(15)).astype(jnp.int32)
         peek23_zero = (win >> jnp.uint32(9)) == 0
 
@@ -479,17 +482,20 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
         new["bitpos"] = bp
         new["error"] = error
 
-        # ---------- scatters ------------------------------------------------
-        coeffs = out["coeffs"]
-        flat_ci = lanes * (COEF_STRIDE + 1) + coef_idx
-        coeffs = coeffs.at[flat_ci].set(coef_val.astype(jnp.int16),
-                                        mode="drop")
-        recs = out["recs"].at[lanes * (mb_count + 1) + rec_idx].set(
-            rec_val, mode="drop")
-        nfinal = out["nfinal"].at[lanes * (MB6 + 1) + nfin_idx].set(
-            nfin_val, mode="drop")
+        # ---------- scatters (batched 2D: put_along_axis keeps an
+        # explicit batch dim so XLA can prove per-lane disjointness and
+        # vectorize even with divergent indices) ------------------------
+        coeffs = jnp.put_along_axis(
+            out["coeffs"], coef_idx[:, None],
+            coef_val.astype(jnp.int16)[:, None], axis=1, inplace=False)
+        recs = jnp.put_along_axis(
+            out["recs"], rec_idx[:, None], rec_val[:, None], axis=1,
+            inplace=False)
+        nfinal = jnp.put_along_axis(
+            out["nfinal"], nfin_idx[:, None], nfin_val[:, None], axis=1,
+            inplace=False)
         out = dict(coeffs=coeffs, recs=recs, nfinal=nfinal)
-        return (words_flat, new, out)
+        return (words, new, out)
 
     return step
 
@@ -506,11 +512,11 @@ def run_scan(words: jnp.ndarray, init_state: dict, mb_width: int,
     MB6 = mb_count * 6
 
     out = dict(
-        coeffs=jnp.zeros((N * (mb_count * 384 + 1),), jnp.int16),
-        recs=jnp.zeros((N * (mb_count + 1),), jnp.int32),
-        nfinal=jnp.zeros((N * (MB6 + 1),), jnp.int32),
+        coeffs=jnp.zeros((N, mb_count * 384 + 1), jnp.int16),
+        recs=jnp.zeros((N, mb_count + 1), jnp.int32),
+        nfinal=jnp.zeros((N, MB6 + 1), jnp.int32),
     )
-    carry = (words.reshape(-1), init_state, out)
+    carry = (words, init_state, out)
 
     def cond(c_i):
         c, i = c_i
@@ -520,12 +526,12 @@ def run_scan(words: jnp.ndarray, init_state: dict, mb_width: int,
         c, i = c_i
         return (step(c), i + 1)
 
-    (words_flat, st, out), iters = jax.lax.while_loop(
+    (words_out, st, out), iters = jax.lax.while_loop(
         cond, body, (carry, jnp.int32(0)))
 
-    coeffs = out["coeffs"].reshape(N, -1)[:, :mb_count * 384]
-    recs = out["recs"].reshape(N, -1)[:, :mb_count]
-    nfinal = out["nfinal"].reshape(N, -1)[:, :MB6]
+    coeffs = out["coeffs"][:, :mb_count * 384]
+    recs = out["recs"][:, :mb_count]
+    nfinal = out["nfinal"][:, :MB6]
     return coeffs, recs, nfinal, st, iters
 
 

@@ -58,6 +58,18 @@ class PlayerSession:
         self.last_pts = -1          # last presented PTS (current stream)
 
     # -- service bootstrap (espflix.cpp:676-695) ------------------------
+    @classmethod
+    def from_boot_url(cls, boot_url: str, **kw) -> "PlayerSession | None":
+        """Service indirection: the boot URL's body is the service root
+        (the reference fetches service.txt first, espflix.cpp:528)."""
+        st = Streamer()
+        body = st.get_url(boot_url)
+        if not body:
+            return None
+        root = body.decode().splitlines()[0].strip()
+        s = cls(root, **kw)
+        return s if s.init_service() else None
+
     def init_service(self) -> bool:
         data = self.streamer.get_url(self.root + "/manifest.txt")
         if not data:
@@ -65,6 +77,64 @@ class PlayerSession:
         self.manifest = [x for x in data.decode().splitlines() if x]
         self.state = State.NAV
         return bool(self.manifest)
+
+    # -- modal sources (espflix.cpp:1043-1069) --------------------------
+    def play_rom(self, data: bytes):
+        """Play an in-memory TS (the splash-movie pathway)."""
+        self.streamer.get_rom(data)
+        self.feed = StreamFeed()
+        self.eos = False
+        self.last_pts = -1
+        self.speed = 0
+        self.state = State.PLAYING
+
+    def load_poster(self, i: int):
+        """Stream a 1-picture poster TS for the nav screen."""
+        rc = self.streamer.get(self.folder(i) + "/poster.ts", 0)
+        if rc != 0:
+            return False
+        self.feed = StreamFeed()
+        self.eos = False
+        self.speed = 0
+        self.state = State.PLAYING
+        return True
+
+    # -- checkpoint (SURVEY.md 5.4: {title, pts, speed} tuples) ---------
+    def snapshot(self) -> dict:
+        ti = self.info.get(self.nav_index)
+        return dict(title=self.manifest[self.nav_index]
+                    if 0 <= self.nav_index < len(self.manifest) else None,
+                    nav=self.nav_index, pos=ti.pos if ti else 0,
+                    speed=self.speed, state=self.state.name)
+
+    def restore(self, snap: dict) -> bool:
+        if snap.get("title") is None:
+            return False
+        try:
+            i = self.manifest.index(snap["title"])
+        except ValueError:
+            return False
+        self.nav(i)
+        self.info[i].pos = int(snap.get("pos", 0))
+        speed = int(snap.get("speed", 0))
+        if snap.get("state") in ("PLAYING", "FAST_FORWARD", "REWIND"):
+            self.play(i, speed, self.get_index(speed, self.info[i].pos)
+                      * 188)
+        return True
+
+    def resync(self) -> bool:
+        """Error recovery: re-seek to the nearest random-access point
+        after the current position (per-stream error containment,
+        SURVEY.md 5.3)."""
+        if self.nav_index < 0 or self.info[self.nav_index].idx_hdr is None:
+            return False
+        ti = self.info[self.nav_index]
+        ti.pos = min(ti.pos + ti.idx_hdr.video.bin_size,
+                     ti.idx_hdr.video.last_pts)
+        self.play(self.nav_index, self.speed,
+                  self.get_index(self.speed, ti.pos) * 188)
+        return self.state in (State.PLAYING, State.FAST_FORWARD,
+                              State.REWIND)
 
     def folder(self, i: int) -> str:
         return f"{self.root}/media/{self.manifest[i]}"

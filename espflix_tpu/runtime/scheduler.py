@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from espflix_tpu.audio.sbc import SbcDecoder
 from espflix_tpu.models import mpeg1 as M
 from espflix_tpu.models import sbc as dsbc
+from espflix_tpu.runtime.events import Ev, EventLog, Timers
 from espflix_tpu.runtime.player import PlayerSession, State
 
 
@@ -45,6 +46,8 @@ class Fleet:
         self.words_per_lane = words_per_lane
         self.audio_F = audio_frames_per_tick
         self.sessions: list[PlayerSession | None] = [None] * n_lanes
+        self.events = EventLog()
+        self.timers = Timers()
         self.frames = M.init_frame_state(n_lanes, self.mb_w * 16,
                                          self.mb_h * 16)
         self.sbc_state = dsbc.init_state(n_lanes)
@@ -71,6 +74,18 @@ class Fleet:
     def attach(self, lane: int, session: PlayerSession):
         self.sessions[lane] = session
 
+    # -- fleet checkpoint/restore (SURVEY.md 5.4) -----------------------
+    def snapshot(self) -> list:
+        return [s.snapshot() if s is not None else None
+                for s in self.sessions]
+
+    def restore(self, snaps: list) -> int:
+        ok = 0
+        for i, snap in enumerate(snaps):
+            if snap is not None and self.sessions[i] is not None:
+                ok += bool(self.sessions[i].restore(snap))
+        return ok
+
     # -- one decode tick ------------------------------------------------
     def tick(self, decode_audio: bool = True) -> TickResult:
         n = self.n
@@ -91,19 +106,24 @@ class Fleet:
         active_any = any(p is not None for p in pics)
         errors = np.zeros(n, bool)
         if active_any:
-            b = M.make_picture_batch(
-                pics, words_per_lane=self.words_per_lane,
-                max_slices=self.mb_h,
-                )
-            args = tuple(jnp.asarray(b[k]) for k in (
-                "words", "slice_starts", "slice_rows", "n_slices",
-                "pic_type", "full_pel", "r_size", "intra_q",
-                "non_intra_q", "active"))
-            if self.mesh is not None:
-                from espflix_tpu.parallel import mesh as pmesh
-                args = tuple(pmesh.shard_lane_tree(self.mesh, a)
-                             for a in args)
-            self.frames, presented, info = self._decode(*args, self.frames)
+            self.events.log(Ev.DECODE_BATCH,
+                            value=int(sum(p is not None for p in pics)))
+            with self.timers.measure("batch_assemble"):
+                b = M.make_picture_batch(
+                    pics, words_per_lane=self.words_per_lane,
+                    max_slices=self.mb_h,
+                    )
+                args = tuple(jnp.asarray(b[k]) for k in (
+                    "words", "slice_starts", "slice_rows", "n_slices",
+                    "pic_type", "full_pel", "r_size", "intra_q",
+                    "non_intra_q", "active"))
+                if self.mesh is not None:
+                    from espflix_tpu.parallel import mesh as pmesh
+                    args = tuple(pmesh.shard_lane_tree(self.mesh, a)
+                                 for a in args)
+            with self.timers.measure("device_decode"):
+                self.frames, presented, info = self._decode(
+                    *args, self.frames)
             y = np.asarray(presented["y"])
             u = np.asarray(presented["u"])
             v = np.asarray(presented["v"])
@@ -118,6 +138,12 @@ class Fleet:
         for i, p in enumerate(pics):
             if p is not None and self.sessions[i] is not None:
                 self.sessions[i].on_presented(p.pts)
+                if errors[i]:
+                    # contain + recover: re-seek the lane to the next
+                    # random-access point (SURVEY.md 5.3)
+                    self.events.log(Ev.LANE_ERROR, i)
+                    if self.sessions[i].resync():
+                        self.events.log(Ev.LANE_RESYNC, i)
 
         # -- audio ---------------------------------------------------------
         audio_lanes = np.zeros(n, bool)
