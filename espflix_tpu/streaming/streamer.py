@@ -102,6 +102,20 @@ class Streamer:
             s.close()
             return -1
         self._sock = s
+        if status == 200 and offset:
+            # server ignored the Range header: discard the prefix so
+            # read() semantics stay offset-based
+            to_skip = offset
+            while to_skip > 0:
+                chunk = s.recv(min(to_skip, 65536))
+                if not chunk:
+                    break
+                to_skip -= len(chunk)
+            if self._content_length >= 0:
+                self._content_length -= offset
+                if length:
+                    self._content_length = min(self._content_length,
+                                               length)
         return 0
 
     def get_url(self, url: str, offset: int = 0,

@@ -1,0 +1,207 @@
+"""Runtime extras: input dispatch, snapshot/restore, boot indirection,
+poster/splash pathways, HTTP streamer, event log."""
+
+import http.server
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from espflix_tpu.runtime import input as keys
+from espflix_tpu.runtime.events import Ev, EventLog, Timers
+from espflix_tpu.runtime.player import PlayerSession, State
+from espflix_tpu.runtime.scheduler import Fleet
+from espflix_tpu.streaming.streamer import Streamer
+from espflix_tpu.tools.indexer import make_service
+
+
+@pytest.fixture(scope="module")
+def service(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("svc2"))
+    make_service(root, ["one", "two"], seed=3, n_gops=2, gop=6)
+    return root
+
+
+def test_key_dispatch_drives_state_machine(service):
+    s = PlayerSession("file://" + service)
+    s.init_service()
+    s.nav(0)
+    keys.dispatch_key(s, keys.KEY_RIGHT)      # NAV -> next title
+    assert s.nav_index == 1
+    keys.dispatch_key(s, keys.KEY_LEFT)
+    assert s.nav_index == 0
+    keys.dispatch_key(s, keys.KEY_PLAY)       # NAV -> PLAYING
+    assert s.state == State.PLAYING
+    keys.dispatch_key(s, keys.KEY_PLAY)       # pause
+    assert s.state == State.PAUSED
+    keys.dispatch_key(s, keys.KEY_RIGHT)      # paused -> fast forward
+    assert s.state == State.FAST_FORWARD
+    keys.dispatch_key(s, keys.KEY_MENU)
+    assert s.state == State.NAV
+
+
+def test_apple_remote_mapping():
+    assert keys.apple_to_key(0x40 << 8) == keys.KEY_MENU
+    assert keys.apple_to_key(0x7A00) == keys.KEY_PLAY
+    assert keys.apple_to_key(0x1234 & 0) == 0
+
+
+def test_snapshot_restore_roundtrip(service):
+    fleet = Fleet(1, words_per_lane=8192)
+    s = PlayerSession("file://" + service)
+    s.init_service()
+    s.nav(1)
+    s.play_pause()
+    fleet.attach(0, s)
+    for _ in range(4):
+        fleet.tick(decode_audio=False)
+    snaps = fleet.snapshot()
+    assert snaps[0]["title"] == "two" and snaps[0]["pos"] >= 0
+
+    fleet2 = Fleet(1, words_per_lane=8192)
+    s2 = PlayerSession("file://" + service)
+    s2.init_service()
+    fleet2.attach(0, s2)
+    assert fleet2.restore(snaps) == 1
+    assert s2.nav_index == 1
+    assert s2.state == State.PLAYING
+    r = fleet2.tick(decode_audio=False)
+    assert r.video_lanes[0]
+
+
+def test_boot_url_indirection(service, tmp_path):
+    boot = tmp_path / "service.txt"
+    boot.write_text("file://" + service + "\n")
+    s = PlayerSession.from_boot_url("file://" + str(boot))
+    assert s is not None and s.manifest == ["one", "two"]
+
+
+def test_play_rom_splash(service):
+    with open(os.path.join(service, "media/one/video.ts"), "rb") as f:
+        rom = f.read()
+    s = PlayerSession("file://" + service)
+    s.play_rom(rom)
+    fleet = Fleet(1, words_per_lane=8192)
+    fleet.attach(0, s)
+    got = 0
+    for _ in range(40):
+        r = fleet.tick(decode_audio=False)
+        got += int(r.video_lanes[0])
+        if s.state == State.DONE:
+            break
+    assert got > 0 and s.state == State.DONE
+
+
+def test_poster_single_frame(service):
+    s = PlayerSession("file://" + service)
+    s.init_service()
+    s.nav(0)
+    assert s.load_poster(0)
+    fleet = Fleet(1, words_per_lane=8192)
+    fleet.attach(0, s)
+    got = 0
+    for _ in range(10):
+        r = fleet.tick(decode_audio=False)
+        got += int(r.video_lanes[0])
+        if s.state == State.DONE:
+            break
+    assert got == 1  # posters are single-picture streams
+
+
+class _RangeHandler(http.server.SimpleHTTPRequestHandler):
+    """Range-capable static handler (S3/CloudFront stand-in)."""
+
+    def do_GET(self):
+        path = self.translate_path(self.path)
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            self.send_error(404)
+            return
+        h = self.headers.get("Range")
+        if h and h.startswith("bytes="):
+            lo, _, hi = h[6:].partition("-")
+            lo = int(lo)
+            hi = int(hi) + 1 if hi else len(data)
+            body = data[lo:hi]
+            self.send_response(206)
+            self.send_header("Content-Range",
+                             f"bytes {lo}-{hi - 1}/{len(data)}")
+        else:
+            body = data
+            self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_http_streamer_range_requests(service):
+    os.chdir(service)
+    handler = _RangeHandler
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        st = Streamer()
+        body = st.get_url(f"http://127.0.0.1:{port}/manifest.txt")
+        assert body is not None and b"one" in body
+        # ranged read of the index header
+        p = os.path.join(service, "media/one/video.idx")
+        whole = open(p, "rb").read()
+        part = st.get_url(
+            f"http://127.0.0.1:{port}/media/one/video.idx", 8, 32)
+        assert part == whole[8:40]
+        # sequential reads
+        assert st.get(f"http://127.0.0.1:{port}/media/one/video.ts",
+                      188) == 0
+        a = st.read(188)
+        b = st.read(188)
+        disk = open(os.path.join(service, "media/one/video.ts"),
+                    "rb").read()
+        assert a == disk[188:376] and b == disk[376:564]
+        st.close()
+        # full playback over HTTP == over file://
+        s = PlayerSession(f"http://127.0.0.1:{port}")
+        assert s.init_service()
+        s.nav(0)
+        s.play_pause()
+        fleet = Fleet(1, words_per_lane=8192)
+        fleet.attach(0, s)
+        frames = 0
+        for _ in range(60):
+            r = fleet.tick(decode_audio=False)
+            frames += int(r.video_lanes[0])
+            if s.state == State.DONE:
+                break
+        assert frames == 12  # 2 gops x 6
+    finally:
+        httpd.shutdown()
+
+
+def test_event_log_and_timers(service):
+    fleet = Fleet(1, words_per_lane=8192)
+    s = PlayerSession("file://" + service)
+    s.init_service()
+    s.nav(0)
+    s.play_pause()
+    fleet.attach(0, s)
+    for _ in range(3):
+        fleet.tick(decode_audio=False)
+    counts = fleet.events.counts()
+    assert counts.get("DECODE_BATCH", 0) >= 3
+    rep = fleet.timers.report()
+    assert "device_decode" in rep and rep["device_decode"]["calls"] >= 3
+
+
+def test_timers_percentages():
+    t = Timers()
+    with t.measure("a"):
+        pass
+    r = t.report()
+    assert r["a"]["calls"] == 1
