@@ -220,9 +220,10 @@ def _sext12(x):
 
 
 def _take_parity(planes, parity):
-    # planes [N,2,H,W]; parity [N] -> [N,H,W]
-    idx = parity[:, None, None, None]
-    return jnp.take_along_axis(planes, idx, axis=1)[:, 0]
+    # planes [N,2,H,W]; parity [N] -> [N,H,W].  Pure select (a gather
+    # along a 2-wide axis is pathologically slow on some TPU runtimes).
+    return jnp.where(parity[:, None, None] == 0, planes[:, 0],
+                     planes[:, 1])
 
 
 def _pin(x):
@@ -251,6 +252,25 @@ def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
     coeffs, recs, nfinal, st, iters = vlc_scan.run_scan(
         words, st0, mb_width, mb_count, max_steps)
 
+    new_frames, presented = dense_compose(
+        coeffs, recs, nfinal, intra_q, non_intra_q, active, frames,
+        mb_width=mb_width, mb_height=mb_height)
+    ok = active & ~st["error"]
+    info = dict(error=st["error"], ok=ok,
+                iters=jnp.broadcast_to(iters, (N,)))
+    return new_frames, presented, info
+
+
+def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
+                  frames, *, mb_width: int, mb_height: int):
+    """Shared dense phase: dequant+IDCT + mocomp + per-pixel compose.
+
+    Consumes the scanner-format buffers (from the device FSM scan OR the
+    native tokenizer fast path) and produces (new_frames, presented)."""
+    N = recs.shape[0]
+    mb_count = mb_width * mb_height
+    H, W = mb_height * 16, mb_width * 16
+
     kind = (recs & 3).reshape(N, mb_height, mb_width)
     qs_mb = ((recs >> 2) & 31).reshape(N, mb_height, mb_width)
     mv_h = _sext12(recs >> 7).reshape(N, mb_height, mb_width)
@@ -265,9 +285,11 @@ def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
     ref_v = _take_parity(frames["v"], 1 - parity)
 
     # ---- prediction (skip + inter MBs; zero MV elsewhere is harmless)
-    pred_y = mocomp_ops.predict_plane(ref_y, mv_h, mv_v, 16)
-    pred_u = mocomp_ops.predict_plane(ref_u, mv_h >> 1, mv_v >> 1, 8)
-    pred_v = mocomp_ops.predict_plane(ref_v, mv_h >> 1, mv_v >> 1, 8)
+    pred_y = mocomp_ops.predict_plane_mxu(ref_y, mv_h, mv_v, 16)
+    pred_u = mocomp_ops.predict_plane_mxu(ref_u, mv_h >> 1,
+                                             mv_v >> 1, 8)
+    pred_v = mocomp_ops.predict_plane_mxu(ref_v, mv_h >> 1,
+                                             mv_v >> 1, 8)
 
     # ---- residuals
     levels = coeffs.astype(jnp.int32).reshape(N, mb_count, 6, 64)
@@ -302,7 +324,6 @@ def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
     new_u = compose(cur_u, pred_u, ru, kind, 8)
     new_v = compose(cur_v, pred_v, rv, kind, 8)
 
-    ok = active & ~st["error"]
     live = active  # errored lanes keep partial decode (reference behavior)
 
     def put(planes, new, parity):
@@ -322,14 +343,82 @@ def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
         u=jnp.where(live[:, None, None], new_u, cur_u),
         v=jnp.where(live[:, None, None], new_v, cur_v),
     )
-    info = dict(error=st["error"], ok=ok,
-                iters=jnp.broadcast_to(iters, (N,)))
-    return new_frames, presented, info
+    return new_frames, presented
 
+
+dense_compose_jit = functools.partial(
+    jax.jit, static_argnames=("mb_width", "mb_height"))(dense_compose)
 
 decode_picture_batch = functools.partial(
     jax.jit, static_argnames=("mb_width", "mb_height", "max_steps"))(
         decode_picture_impl)
+
+
+# ---------------------------------------------------------------------------
+# Native tokenizer fast path (hybrid pipeline): C++ entropy decode ->
+# device dense phase.  Same buffers, same dense_compose, bit-exact.
+# ---------------------------------------------------------------------------
+
+def tokenize_batch_native(pictures: list, mb_width: int, mb_height: int):
+    """Entropy-decode one picture per lane with the native tokenizer
+    (oracle/mpeg1_oracle.cpp mpeg1_tokenize_picture).
+
+    Returns numpy (coeffs int16[N, MB*384], recs int32[N, MB],
+    nfinal int32[N, MB*6], active bool[N], errors bool[N])."""
+    import ctypes
+
+    from espflix_tpu.tools import oracle as _oracle
+
+    L = _oracle.lib()
+    if not hasattr(L, "_tok_ready"):
+        L.mpeg1_tokenize_picture.restype = ctypes.c_int
+        L.mpeg1_tokenize_picture.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        L._tok_ready = True
+
+    N = len(pictures)
+    mb_count = mb_width * mb_height
+    coeffs = np.zeros((N, mb_count * 384), np.int16)
+    recs = np.zeros((N, mb_count), np.int32)
+    nfinal = np.zeros((N, mb_count * 6), np.uint8)
+    active = np.zeros(N, bool)
+    errors = np.zeros(N, bool)
+    for i, p in enumerate(pictures):
+        if p is None or not p.slice_offsets:
+            continue
+        active[i] = True
+        offs = np.asarray(p.slice_offsets, np.int64)
+        rows = np.asarray(p.slice_rows, np.int32)
+        rc = L.mpeg1_tokenize_picture(
+            p.payload, len(p.payload),
+            offs.ctypes.data, rows.ctypes.data, len(offs),
+            mb_width, mb_height, p.pic_type, p.full_pel,
+            max(p.r_size, 0),
+            coeffs[i].ctypes.data, recs[i].ctypes.data,
+            nfinal[i].ctypes.data)
+        errors[i] = rc != 0
+    return coeffs, recs, nfinal.astype(np.int32), active, errors
+
+
+def decode_picture_batch_hybrid(pictures: list, intra_q, non_intra_q,
+                                frames, *, mb_width: int, mb_height: int):
+    """Hybrid decode step: native entropy decode on the host feeding the
+    jitted device dense phase.  Returns (new_frames, presented, info)."""
+    coeffs, recs, nfinal, active, errors = tokenize_batch_native(
+        pictures, mb_width, mb_height)
+    new_frames, presented = dense_compose_jit(
+        jnp.asarray(coeffs), jnp.asarray(recs), jnp.asarray(nfinal),
+        jnp.asarray(intra_q), jnp.asarray(non_intra_q),
+        jnp.asarray(active), frames,
+        mb_width=mb_width, mb_height=mb_height)
+    info = dict(error=jnp.asarray(errors),
+                ok=jnp.asarray(active & ~errors),
+                iters=jnp.zeros(len(pictures), jnp.int32))
+    return new_frames, presented, info
 
 
 # ---------------------------------------------------------------------------

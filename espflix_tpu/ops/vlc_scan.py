@@ -501,8 +501,11 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
 
 
 def run_scan(words: jnp.ndarray, init_state: dict, mb_width: int,
-             mb_count: int, max_steps: int):
+             mb_count: int, max_steps: int, unroll: int = 1):
     """Run the FSM to completion (or max_steps).  words: uint32[N, W].
+
+    unroll: symbols decoded per while-loop iteration (amortizes loop
+    overhead; DONE lanes self-mask so over-running is harmless).
 
     Returns (coeffs int16[N, mb_count*384], recs int32[N, mb_count],
     nfinal int32[N, mb_count*6], final_state)."""
@@ -524,7 +527,9 @@ def run_scan(words: jnp.ndarray, init_state: dict, mb_width: int,
 
     def body(c_i):
         c, i = c_i
-        return (step(c), i + 1)
+        for _ in range(unroll):
+            c = step(c)
+        return (c, i + unroll)
 
     (words_out, st, out), iters = jax.lax.while_loop(
         cond, body, (carry, jnp.int32(0)))

@@ -460,6 +460,162 @@ struct Decoder {
 
 }  // namespace
 
+namespace {
+
+// ---------------------------------------------------------------------
+// Slice tokenizer: entropy-decode ONE picture's slice payload into the
+// same dense buffers the device scanner produces (raw levels at raster
+// positions, packed MB records, per-block final-n), leaving dequant/
+// IDCT/mocomp to the batched device kernels.  This is the native
+// runtime fast path of the hybrid pipeline (see docs/ARCHITECTURE.md).
+struct Tokenizer {
+    int mb_width, mb_height, mb_count;
+    int pic_type, full_pel, r_size;
+    int quantizer_scale = 0;
+    int mb_x = 0, mb_y = 0;
+    int y_dc = 128, u_dc = 128, v_dc = 128;
+    int fwd_h = 0, fwd_v = 0;
+    int16_t* coeffs;    // [mb_count*384]
+    int32_t* recs;      // [mb_count]
+    uint8_t* nfinal;    // [mb_count*6]
+    int error = 0;
+
+    int get_vlc(BitReader& r, const int32_t* lut, int peek_bits) {
+        int32_t e = lut[r.peek(peek_bits)];
+        if (e == 0) { error = 2; return 0; }
+        r.skip(lut_length(e));
+        return lut_value(e);
+    }
+
+    void inc_mb() {
+        mb_x += 1;
+        while (mb_x >= mb_width) { mb_x -= mb_width; mb_y++; }
+    }
+
+    int mb_index() {
+        int i = mb_y * mb_width + mb_x;
+        return i < 0 ? 0 : (i >= mb_count ? mb_count - 1 : i);
+    }
+
+    int motion_vector(BitReader& r, int m) {
+        int scale = 1 << r_size;
+        int code = get_vlc(r, LUT_MOTION, 11);
+        int d;
+        if (code != 0 && scale != 1) {
+            d = ((abs(code) - 1) << r_size) + (int)r.get(r_size) + 1;
+            if (code < 0) d = -d;
+        } else d = code;
+        m += d;
+        if (m > (scale << 4) - 1) m -= scale << 5;
+        else if (m < (-scale) << 4) m += scale << 5;
+        return m;
+    }
+
+    void block(BitReader& r, int blk, bool intra) {
+        int16_t* b = coeffs + (size_t)mb_index() * 384 + blk * 64;
+        int n = 0;
+        if (intra) {
+            int dc_size = blk < 4 ? get_vlc(r, LUT_DC_LUM, 8)
+                                  : get_vlc(r, LUT_DC_CHROM, 8);
+            if (error) return;
+            int* pred = blk < 4 ? &y_dc : (blk == 4 ? &u_dc : &v_dc);
+            int dc = *pred;
+            if (dc_size) {
+                int delta = (int)r.get(dc_size);
+                if (delta & (1 << (dc_size - 1))) dc += delta;
+                else dc += ((-1 << dc_size) | (delta + 1));
+                *pred = dc;
+            }
+            b[0] = (int16_t)dc;
+            n = 1;
+        }
+        for (;;) {
+            uint32_t p = r.peek(2);
+            if (n && p == 0x2) { r.skip(2); break; }
+            const int32_t* lut = n == 0 ? LUT_DCT_FIRST : LUT_DCT_NEXT;
+            int32_t e = lut[r.peek(17)];
+            int kind = (e >> 24) & 3;
+            if (kind == 0) { error = 3; return; }
+            int bits = (e >> 18) & 0x1F;
+            int run = (e >> 12) & 0x3F;
+            int level = e & 0xFFF;
+            if (level >= 0x800) level -= 0x1000;
+            r.skip(bits);
+            if (kind == DCT_ESC_K) {
+                int v8 = (int)r.get(8);
+                if (v8 == 0) level = (int)r.get(8);
+                else if (v8 == 128) level = (int)r.get(8) - 256;
+                else level = v8 > 128 ? v8 - 256 : v8;
+            }
+            n += run;
+            if (n >= 64) { error = 4; return; }
+            b[ZIG_ZAG[n++]] = (int16_t)level;
+        }
+        nfinal[(size_t)mb_index() * 6 + blk] = (uint8_t)n;
+    }
+
+    void emit_rec(int kind, int mvh_eff, int mvv_eff) {
+        recs[mb_index()] = kind | (quantizer_scale << 2)
+            | ((mvh_eff & 0xFFF) << 7) | ((mvv_eff & 0xFFF) << 19);
+    }
+
+    int slice(BitReader& r, int s) {
+        mb_y = s - 2;
+        mb_x = mb_width - 1;
+        if (mb_y >= mb_height) return -1;
+        y_dc = u_dc = v_dc = 128;
+        fwd_h = fwd_v = 0;
+        quantizer_scale = (int)r.get(5);
+        while (r.get(1)) r.get(8);
+        for (int mb = 0; r.peek(23) != 0 && !error; mb++) {
+            int increment = 0;
+            int i = get_vlc(r, LUT_MB_ADDR, 11);
+            while (i == 34) i = get_vlc(r, LUT_MB_ADDR, 11);
+            while (i == 35) { increment += 33; i = get_vlc(r, LUT_MB_ADDR, 11); }
+            increment += i;
+            if (error) return -1;
+            if (mb == 0) inc_mb();
+            else {
+                if (increment > 1) {
+                    y_dc = u_dc = v_dc = 128;
+                    fwd_h = fwd_v = 0;
+                }
+                while (increment > 1) {
+                    inc_mb();
+                    recs[mb_index()] = 1;  // MB_SKIP
+                    increment--;
+                }
+                inc_mb();
+            }
+            int mb_type = get_vlc(
+                r, pic_type == 1 ? LUT_MB_TYPE_I : LUT_MB_TYPE_P, 6);
+            bool intra = mb_type & MBT_INTRA;
+            if (mb_type & MBT_QUANT) quantizer_scale = (int)r.get(5);
+            if (intra) {
+                fwd_h = fwd_v = 0;
+                emit_rec(3, 0, 0);
+            } else {
+                y_dc = u_dc = v_dc = 128;
+                if (mb_type & MBT_MOTION_F) {
+                    fwd_h = motion_vector(r, fwd_h);
+                    fwd_v = motion_vector(r, fwd_v);
+                } else fwd_h = fwd_v = 0;
+                emit_rec(2, fwd_h << full_pel, fwd_v << full_pel);
+            }
+            int cbp = (mb_type & MBT_PATTERN) ? get_vlc(r, LUT_CBP, 9)
+                                              : (intra ? 63 : 0);
+            for (int k = 0, mask = 0x20; k < 6; k++, mask >>= 1)
+                if (cbp & mask) {
+                    block(r, k, intra);
+                    if (error) return -1;
+                }
+        }
+        return 0;
+    }
+};
+
+}  // namespace
+
 extern "C" {
 
 // Decode a whole MPEG-1 video elementary stream.
@@ -476,6 +632,36 @@ int mpeg1_oracle_decode(const uint8_t* es, long es_len,
     if (out_width) *out_width = d.width;
     if (out_height) *out_height = d.height;
     return n;
+}
+
+// Tokenize one picture's slice payload (native fast path).
+// payload: slice region incl. start codes; slice offsets in BITS from
+// payload start (past each 32-bit start code), rows 0-based.
+// Outputs must be zeroed by the caller: coeffs[mb_count*384] int16,
+// recs[mb_count] int32, nfinal[mb_count*6] uint8.
+// Returns 0, or -errno on parse error (partial outputs retained).
+int mpeg1_tokenize_picture(const uint8_t* payload, long payload_len,
+                           const long* slice_bit_offsets,
+                           const int* slice_rows, int n_slices,
+                           int mb_width, int mb_height,
+                           int pic_type, int full_pel, int r_size,
+                           int16_t* coeffs, int32_t* recs,
+                           uint8_t* nfinal) {
+    Tokenizer t;
+    t.mb_width = mb_width;
+    t.mb_height = mb_height;
+    t.mb_count = mb_width * mb_height;
+    t.pic_type = pic_type;
+    t.full_pel = full_pel;
+    t.r_size = r_size < 0 ? 0 : r_size;
+    t.coeffs = coeffs;
+    t.recs = recs;
+    t.nfinal = nfinal;
+    for (int s = 0; s < n_slices && !t.error; s++) {
+        BitReader r{payload, payload_len, slice_bit_offsets[s]};
+        t.slice(r, slice_rows[s] + 1);
+    }
+    return t.error ? -t.error : 0;
 }
 
 }  // extern "C"
