@@ -1,10 +1,21 @@
 #!/usr/bin/env python3
 """Benchmark: concurrent real-time 352x192 MPEG-1 streams per chip.
 
-Decodes realistic ~1.5 Mb/s GOP content (I + P, half-pel MVs) with the
-batched device decoder over a 'streams' mesh and reports how many 30 fps
-streams one chip sustains.  Baseline: the reference decodes exactly 1
-stream per ESP32 chip (BASELINE.md).
+Decodes realistic ~1.5 Mb/s GOP content (I+P, half-pel MVs, divergent
+per-lane streams) and reports how many 30 fps streams one chip
+sustains.  Baseline: the reference decodes exactly 1 stream per ESP32
+chip (BASELINE.md).
+
+Timing is wall-clock over K chained GOP decodes with a hard host sync
+at the end (device-only block_until_ready is unreliable through this
+environment's TPU tunnel).
+
+Two pipeline configs:
+  --pipeline hybrid  (default): native C++ entropy decode feeding the
+      jitted device dense phase (dequant+IDCT + MXU one-hot mocomp +
+      compose).  Includes host tokenize + host->device upload per call.
+  --pipeline device: the all-device path (lane-parallel FSM scan on
+      device + the same dense phase) - the BASELINE north-star config.
 
 Prints one JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -20,10 +31,13 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--lanes", type=int, default=0,
-                    help="batch lanes (0 = auto by platform)")
+    ap.add_argument("--lanes", type=int, default=0)
     ap.add_argument("--pictures", type=int, default=12)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--distinct", type=int, default=8,
+                    help="distinct content streams tiled across lanes")
+    ap.add_argument("--pipeline", choices=["hybrid", "device"],
+                    default="hybrid")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -31,71 +45,95 @@ def main():
     import jax.numpy as jnp
 
     from espflix_tpu.models import mpeg1 as M
-    from espflix_tpu.parallel import mesh as pmesh
     from espflix_tpu.tools import mpeg1_encode as E
     from espflix_tpu.tools.content import realistic_gop_script
 
     devs = jax.devices()
     platform = devs[0].platform
     n_chips = len(devs)
-    lanes = args.lanes or (1024 if platform == "tpu" else 8)
-    lanes = max(lanes, n_chips)
-    lanes -= lanes % n_chips
+    lanes = args.lanes or (1024 if platform in ("tpu",) else 8)
 
     def log(*a):
         if args.verbose:
-            print(*a, file=sys.stderr)
+            print(*a, file=sys.stderr, flush=True)
 
-    log(f"platform={platform} chips={n_chips} lanes={lanes}")
+    log(f"platform={platform} chips={n_chips} lanes={lanes} "
+        f"pipeline={args.pipeline}")
 
-    rng = np.random.default_rng(7)
-    es = E.encode_es(
-        realistic_gop_script(rng, n_pictures=args.pictures))
-    seq, pics = M.parse_es(es)
-    words_per_lane = max((len(p.payload) + 3) // 4 + 4 for p in pics)
-    max_slices = max(len(p.slice_offsets) for p in pics)
-    total_bytes = sum(len(p.payload) for p in pics)
-    log(f"content: {len(pics)} pictures, "
-        f"{total_bytes * 8 * 30 / len(pics) / 1e6:.2f} Mb/s @30fps")
+    # distinct per-lane content, GOP-phase aligned (fleet scheduling
+    # groups lanes by phase; divergence itself measured cost-neutral)
+    streams = []
+    for s in range(args.distinct):
+        rng = np.random.default_rng(1000 + s)
+        streams.append(M.parse_es(
+            E.encode_es(realistic_gop_script(
+                rng, n_pictures=args.pictures)))[1])
+    seq = streams[0][0].seq
+    mbw, mbh = seq.mb_width, seq.mb_height
+    wpl = max(max((len(p.payload) + 3) // 4 + 4 for p in ps)
+              for ps in streams)
+    total_bytes = sum(len(p.payload) for p in streams[0])
+    log(f"content: {args.pictures} pics/GOP, "
+        f"{total_bytes * 8 * 30 / args.pictures / 1e6:.2f} Mb/s @30fps")
 
-    mesh = pmesh.make_mesh(n_chips)
-    decode = pmesh.make_sharded_decoder(
-        mesh, mb_width=seq.mb_width, mb_height=seq.mb_height,
-        max_steps=words_per_lane * 32)
+    frames = M.init_frame_state(lanes, mbw * 16, mbh * 16)
+    per_pic = []
+    for k in range(args.pictures):
+        per_pic.append([streams[i % args.distinct][k]
+                        for i in range(lanes)])
 
-    frames = M.init_frame_state(lanes, seq.mb_width * 16,
-                                seq.mb_height * 16)
-    frames = pmesh.shard_lane_tree(mesh, frames)
+    if args.pipeline == "device":
+        import functools
 
-    batches = []
-    for p in pics:
-        b = M.make_picture_batch([p] * lanes, words_per_lane=words_per_lane,
-                                 max_slices=max_slices)
-        arrs = tuple(
-            jnp.asarray(b[k]) for k in (
+        dec = functools.partial(
+            M.decode_picture_batch, mb_width=mbw, mb_height=mbh,
+            max_steps=wpl * 32)
+        batches = []
+        for sel in per_pic:
+            b = M.make_picture_batch(sel, words_per_lane=wpl,
+                                     max_slices=mbh)
+            batches.append(tuple(jnp.asarray(b[k]) for k in (
                 "words", "slice_starts", "slice_rows", "n_slices",
                 "pic_type", "full_pel", "r_size", "intra_q",
-                "non_intra_q", "active"))
-        batches.append(pmesh.shard_lane_tree(mesh, arrs))
+                "non_intra_q", "active")))
 
-    # warmup/compile
-    t0 = time.time()
-    frames, presented, info = decode(*batches[0], frames)
-    jax.block_until_ready(presented["y"])
-    log(f"compile+first picture: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        frames, p, info = dec(*batches[0], frames)
+        _ = np.asarray(p["y"])
+        log(f"compile+first: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        n = 0
+        for _ in range(args.reps):
+            for bt in batches:
+                frames, p, info = dec(*bt, frames)
+                n += 1
+        _ = np.asarray(p["y"])
+        dt = time.time() - t0
+    else:
+        iqs = [np.stack([p.seq.intra_q for p in sel]) for sel in per_pic]
+        nqs = [np.stack([p.seq.non_intra_q for p in sel])
+               for sel in per_pic]
+        t0 = time.time()
+        frames, p, info = M.decode_picture_batch_hybrid(
+            per_pic[0], iqs[0], nqs[0], frames, mb_width=mbw,
+            mb_height=mbh)
+        _ = np.asarray(p["y"])
+        log(f"compile+first: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        n = 0
+        for _ in range(args.reps):
+            for k, sel in enumerate(per_pic):
+                frames, p, info = M.decode_picture_batch_hybrid(
+                    sel, iqs[k], nqs[k], frames, mb_width=mbw,
+                    mb_height=mbh)
+                n += 1
+        _ = np.asarray(p["y"])
+        dt = time.time() - t0
 
-    t0 = time.time()
-    npics = 0
-    for _ in range(args.reps):
-        for bt in batches:
-            frames, presented, info = decode(*bt, frames)
-            npics += 1
-    jax.block_until_ready(presented["y"])
-    dt = time.time() - t0
-    fps = lanes * npics / dt
+    fps = lanes * n / dt
     streams_per_chip = fps / 30.0 / n_chips
-    log(f"{npics} pictures x {lanes} lanes in {dt:.2f}s -> "
-        f"{fps:.0f} fps total, {streams_per_chip:.1f} rt streams/chip")
+    log(f"{n} pictures x {lanes} lanes in {dt:.2f}s -> {fps:.0f} fps, "
+        f"{streams_per_chip:.1f} rt streams/chip")
 
     print(json.dumps({
         "metric": "realtime_352x192_mpeg1_streams_per_chip",

@@ -209,12 +209,17 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
         consumed = jnp.zeros_like(bitpos)
         error = st["error"]
 
-        # scatters (masked via trash index)
-        coef_idx = jnp.full((N,), COEF_STRIDE, jnp.int32)   # trash slot
+        # ONE combined output buffer per lane with regions
+        # [recs | nfinal | coeffs | trash]; every step does exactly one
+        # batched scatter (a scatter costs ~16us/step on TPU runtimes
+        # regardless of masking, so the three logical emissions share
+        # it; the emitting states are mutually exclusive per lane).
+        TRASH = mb_count + MB6 + COEF_STRIDE
+        coef_idx = jnp.full((N,), TRASH, jnp.int32)
         coef_val = jnp.zeros((N,), jnp.int32)
-        rec_idx = jnp.full((N,), mb_count, jnp.int32)
+        rec_idx = jnp.full((N,), TRASH, jnp.int32)
         rec_val = jnp.zeros((N,), jnp.int32)
-        nfin_idx = jnp.full((N,), MB6, jnp.int32)
+        nfin_idx = jnp.full((N,), TRASH, jnp.int32)
         nfin_val = jnp.zeros((N,), jnp.int32)
 
         def sel(mask, a, b):
@@ -428,7 +433,7 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
         new["v_dc"] = sel(upd & (st["blk"] == 5), dc, new["v_dc"])
         # emit DC as raw value at block position 0
         mi = mb_index(st["mb_x"], st["mb_y"])
-        cidx = mi * 384 + st["blk"] * 64
+        cidx = mb_count + MB6 + mi * 384 + st["blk"] * 64
         coef_idx = sel(upd, cidx, coef_idx)
         coef_val = sel(upd, dc, coef_val)
         new["n"] = sel(upd, 1, new["n"])
@@ -455,13 +460,13 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
         consumed = sel(m, e_bits + sel(is_esc, esc_extra, 0), consumed)
         emit = m & ~bad & ~is_eob & ~oob
         mi = mb_index(st["mb_x"], st["mb_y"])
-        cidx = mi * 384 + st["blk"] * 64 + zz_pos
+        cidx = mb_count + MB6 + mi * 384 + st["blk"] * 64 + zz_pos
         coef_idx = sel(emit, cidx, coef_idx)
         coef_val = sel(emit, level, coef_val)
         new["n"] = sel(emit, nn + 1, new["n"])
         # EOB: store final n, advance to next coded block or end MB
         meob = m & ~bad & is_eob
-        nfin_idx = sel(meob, mi * 6 + st["blk"], nfin_idx)
+        nfin_idx = sel(meob, mb_count + mi * 6 + st["blk"], nfin_idx)
         nfin_val = sel(meob, st["n"], nfin_val)
         rem = st["cbp"] & ((jnp.int32(0x20) >> st["blk"]) - 1)
         nb = next_blk_lut[jnp.clip(rem, 0, 63)]
@@ -482,19 +487,18 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
         new["bitpos"] = bp
         new["error"] = error
 
-        # ---------- scatters (batched 2D: put_along_axis keeps an
-        # explicit batch dim so XLA can prove per-lane disjointness and
-        # vectorize even with divergent indices) ------------------------
-        coeffs = jnp.put_along_axis(
-            out["coeffs"], coef_idx[:, None],
-            coef_val.astype(jnp.int16)[:, None], axis=1, inplace=False)
-        recs = jnp.put_along_axis(
-            out["recs"], rec_idx[:, None], rec_val[:, None], axis=1,
+        # ---------- single combined scatter (batched 2D:
+        # put_along_axis keeps an explicit batch dim so XLA can prove
+        # per-lane disjointness).  The three emission kinds come from
+        # mutually exclusive states; fold to one (idx, val) per lane.
+        idx1 = jnp.where(rec_idx != TRASH, rec_idx,
+                         jnp.where(nfin_idx != TRASH, nfin_idx, coef_idx))
+        val1 = jnp.where(rec_idx != TRASH, rec_val,
+                         jnp.where(nfin_idx != TRASH, nfin_val, coef_val))
+        buf = jnp.put_along_axis(
+            out["buf"], idx1[:, None], val1[:, None], axis=1,
             inplace=False)
-        nfinal = jnp.put_along_axis(
-            out["nfinal"], nfin_idx[:, None], nfin_val[:, None], axis=1,
-            inplace=False)
-        out = dict(coeffs=coeffs, recs=recs, nfinal=nfinal)
+        out = dict(buf=buf)
         return (words, new, out)
 
     return step
@@ -515,9 +519,8 @@ def run_scan(words: jnp.ndarray, init_state: dict, mb_width: int,
     MB6 = mb_count * 6
 
     out = dict(
-        coeffs=jnp.zeros((N, mb_count * 384 + 1), jnp.int16),
-        recs=jnp.zeros((N, mb_count + 1), jnp.int32),
-        nfinal=jnp.zeros((N, MB6 + 1), jnp.int32),
+        buf=jnp.zeros((N, mb_count + MB6 + mb_count * 384 + 1),
+                      jnp.int32),
     )
     carry = (words, init_state, out)
 
@@ -534,9 +537,11 @@ def run_scan(words: jnp.ndarray, init_state: dict, mb_width: int,
     (words_out, st, out), iters = jax.lax.while_loop(
         cond, body, (carry, jnp.int32(0)))
 
-    coeffs = out["coeffs"][:, :mb_count * 384]
-    recs = out["recs"][:, :mb_count]
-    nfinal = out["nfinal"][:, :MB6]
+    buf = out["buf"]
+    recs = buf[:, :mb_count]
+    nfinal = buf[:, mb_count:mb_count + MB6]
+    coeffs = buf[:, mb_count + MB6:mb_count + MB6 + mb_count * 384
+                 ].astype(jnp.int16)
     return coeffs, recs, nfinal, st, iters
 
 

@@ -39,7 +39,11 @@ class TickResult:
 class Fleet:
     def __init__(self, n_lanes: int, width: int = 352, height: int = 192,
                  words_per_lane: int = 16384, mesh=None,
-                 audio_frames_per_tick: int = 4):
+                 audio_frames_per_tick: int = 4,
+                 parser: str = "device"):
+        """parser: 'device' (all-device FSM scan, the north-star config)
+        or 'hybrid' (native C++ entropy decode + device dense phase;
+        faster on hosts with CPU headroom, bit-exact either way)."""
         self.n = n_lanes
         self.width, self.height = width, height
         self.mb_w, self.mb_h = (width + 15) >> 4, (height + 15) >> 4
@@ -51,6 +55,11 @@ class Fleet:
         self.frames = M.init_frame_state(n_lanes, self.mb_w * 16,
                                          self.mb_h * 16)
         self.sbc_state = dsbc.init_state(n_lanes)
+        self.parser = parser
+        if parser == "hybrid":
+            from espflix_tpu.tools import oracle as _orc
+            if not _orc.available():
+                self.parser = "device"
         self.mesh = mesh
         if mesh is not None:
             from espflix_tpu.parallel import mesh as pmesh
@@ -105,7 +114,23 @@ class Fleet:
 
         active_any = any(p is not None for p in pics)
         errors = np.zeros(n, bool)
-        if active_any:
+        if active_any and self.parser == "hybrid" and self.mesh is None:
+            self.events.log(Ev.DECODE_BATCH,
+                            value=int(sum(p is not None for p in pics)))
+            iq = np.stack([p.seq.intra_q if p is not None
+                           else np.zeros(64, np.int32) for p in pics])
+            nq = np.stack([p.seq.non_intra_q if p is not None
+                           else np.zeros(64, np.int32) for p in pics])
+            with self.timers.measure("device_decode"):
+                self.frames, presented, info = \
+                    M.decode_picture_batch_hybrid(
+                        pics, iq, nq, self.frames,
+                        mb_width=self.mb_w, mb_height=self.mb_h)
+            y = np.asarray(presented["y"])
+            u = np.asarray(presented["u"])
+            v = np.asarray(presented["v"])
+            errors = np.asarray(info["error"])
+        elif active_any:
             self.events.log(Ev.DECODE_BATCH,
                             value=int(sum(p is not None for p in pics)))
             with self.timers.measure("batch_assemble"):
