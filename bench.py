@@ -23,10 +23,16 @@ Prints one JSON line:
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compile cache: first-compile of the decode graphs takes
+# minutes through this environment's remote-compile service
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/jaxcache")
 
 
 def main():

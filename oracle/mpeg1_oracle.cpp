@@ -475,10 +475,22 @@ struct Tokenizer {
     int mb_x = 0, mb_y = 0;
     int y_dc = 128, u_dc = 128, v_dc = 128;
     int fwd_h = 0, fwd_v = 0;
-    int16_t* coeffs;    // [mb_count*384]
+    int16_t* coeffs;    // [mb_count*384] (dense mode)
     int32_t* recs;      // [mb_count]
     uint8_t* nfinal;    // [mb_count*6]
+    int32_t* emit = nullptr;  // compact mode: (pos<<12 | val&0xFFF)
+    int max_emit = 0;
+    int n_emit = 0;
     int error = 0;
+
+    void put_coeff(int pos, int val) {
+        if (emit) {
+            if (n_emit >= max_emit) { error = 5; return; }
+            emit[n_emit++] = (pos << 12) | (val & 0xFFF);
+        } else {
+            coeffs[pos] = (int16_t)val;
+        }
+    }
 
     int get_vlc(BitReader& r, const int32_t* lut, int peek_bits) {
         int32_t e = lut[r.peek(peek_bits)];
@@ -512,7 +524,7 @@ struct Tokenizer {
     }
 
     void block(BitReader& r, int blk, bool intra) {
-        int16_t* b = coeffs + (size_t)mb_index() * 384 + blk * 64;
+        int base = mb_index() * 384 + blk * 64;
         int n = 0;
         if (intra) {
             int dc_size = blk < 4 ? get_vlc(r, LUT_DC_LUM, 8)
@@ -526,7 +538,7 @@ struct Tokenizer {
                 else dc += ((-1 << dc_size) | (delta + 1));
                 *pred = dc;
             }
-            b[0] = (int16_t)dc;
+            put_coeff(base, dc);
             n = 1;
         }
         for (;;) {
@@ -549,7 +561,7 @@ struct Tokenizer {
             }
             n += run;
             if (n >= 64) { error = 4; return; }
-            b[ZIG_ZAG[n++]] = (int16_t)level;
+            put_coeff(base + ZIG_ZAG[n++], level);
         }
         nfinal[(size_t)mb_index() * 6 + blk] = (uint8_t)n;
     }
@@ -662,6 +674,35 @@ int mpeg1_tokenize_picture(const uint8_t* payload, long payload_len,
         t.slice(r, slice_rows[s] + 1);
     }
     return t.error ? -t.error : 0;
+}
+
+// Compact variant: coefficients as an emission list of
+// (coeff_pos << 12 | level & 0xFFF) words (4x less host->device
+// transfer than the dense buffer; the device unpacks with one bulk
+// scatter).  Returns the emission count, or -errno.
+int mpeg1_tokenize_picture_compact(
+        const uint8_t* payload, long payload_len,
+        const long* slice_bit_offsets, const int* slice_rows,
+        int n_slices, int mb_width, int mb_height,
+        int pic_type, int full_pel, int r_size,
+        int32_t* emit, int max_emit, int32_t* recs, uint8_t* nfinal) {
+    Tokenizer t;
+    t.mb_width = mb_width;
+    t.mb_height = mb_height;
+    t.mb_count = mb_width * mb_height;
+    t.pic_type = pic_type;
+    t.full_pel = full_pel;
+    t.r_size = r_size < 0 ? 0 : r_size;
+    t.coeffs = nullptr;
+    t.recs = recs;
+    t.nfinal = nfinal;
+    t.emit = emit;
+    t.max_emit = max_emit;
+    for (int s = 0; s < n_slices && !t.error; s++) {
+        BitReader r{payload, payload_len, slice_bit_offsets[s]};
+        t.slice(r, slice_rows[s] + 1);
+    }
+    return t.error ? -t.error : t.n_emit;
 }
 
 }  // extern "C"
