@@ -18,6 +18,17 @@ from espflix_tpu.ops import delta_sigma as DS
 from espflix_tpu.video.render import PAUSE, PLAY, FFWD, RWND, show_time
 
 
+# key-feedback beep: the reference's 32-sample sine (negated-sin
+# phase, espflix.ino:109-120), played at >>2 amplitude for 5 audio
+# frames (128 samples each).  Transcribed verbatim for bit parity (its
+# rounding differs from round() by 1 LSB on some taps).
+_S = [0, 6392, 12539, 18204, 23169, 27244, 30272, 32137, 32767]
+_SIN32 = np.array(
+    [-_S[i] for i in range(9)] + [-_S[16 - i] for i in range(9, 16)]
+    + [_S[i - 16] for i in range(16, 25)]
+    + [_S[32 - i] for i in range(25, 32)], np.int32)
+
+
 class OutputStage:
     def __init__(self, n_lanes: int, pal: bool = False):
         self.n = n_lanes
@@ -28,6 +39,11 @@ class OutputStage:
         self.frame_counter = np.zeros(n_lanes, np.int64)
         self.last_seconds = np.full(n_lanes, -1, np.int64)
         self.pdm_state = DS.init_state(n_lanes)
+        self.beep_frames = np.zeros(n_lanes, np.int32)
+
+    def beep(self, lane: int):
+        """Queue the 5-frame key-feedback beep (espflix.ino:116-120)."""
+        self.beep_frames[lane] = 5
 
     # -- OSD state (espflix.cpp:862-884) --------------------------------
     def show_progress(self, lane: int, t: int = 180):
@@ -67,7 +83,17 @@ class OutputStage:
         return np.asarray(fields)
 
     def modulate(self, pcm: np.ndarray):
-        """PCM int16[N, T] -> PDM words uint16-in-int32[N, 2T]."""
+        """PCM int16[N, T] -> PDM words uint16-in-int32[N, 2T].
+        Lanes with a pending beep play the sine instead (espflix.ino
+        write_pcm_16 beep branch)."""
+        pcm = np.asarray(pcm, np.int16).copy()
+        beeping = self.beep_frames > 0
+        if beeping.any():
+            T = pcm.shape[1]
+            wave = (_SIN32[np.arange(T) & 31] >> 2).astype(np.int16)
+            pcm[beeping] = wave
+            self.beep_frames = np.maximum(
+                self.beep_frames - (T + 127) // 128, 0)
         out, self.pdm_state = DS.modulate(
             jnp.asarray(pcm), self.pdm_state, n_samples=pcm.shape[1])
         return np.asarray(out)
