@@ -8,10 +8,11 @@ residuals once).  Same exact integer semantics; bit-identical outputs
 (tests/test_idct_pallas.py runs it in interpreter mode on CPU and
 against the jnp path).
 
-Layout: blocks are processed as [TILE, 64] int32 tiles (64 = one 8x8
-block per row, raster order).  The butterflies become column-slice
-arithmetic on the [TILE, 64] tile -- fully vectorized on the VPU with
-the 64-wide axis padded to lanes.
+Layout: blocks are processed as [TILE, 128] int32 tiles (Mosaic wants
+128-lane minor dims): columns 0..63 carry one 8x8 block per row in
+raster order; 64..127 are auxiliary (quant matrix tile pairs with the
+IDCT prescale constants there; the meta tile carries intra/qscale/
+nfinal in its first columns).
 """
 
 from __future__ import annotations
@@ -28,11 +29,14 @@ from espflix_tpu.core import vlc_tables as V
 TILE = 256  # blocks per grid step
 
 
-def _idct_tile(b):
-    """Exact fixed-point IDCT on [T, 8, 8] int32 (player.cpp:922-996
-    semantics), written with lax ops that lower cleanly in Mosaic."""
-    def pass_(m, final):
-        c = [m[:, i, :] for i in range(8)]
+def _idct_cols(b64):
+    """Exact fixed-point IDCT on a [T, 64] tile (raster blocks).
+
+    Column pass operates on row-slices b64[:, r*8:(r+1)*8]; row pass on
+    strided slices b64[:, c::8]; both are static slices Mosaic handles.
+    (player.cpp:922-996 semantics.)"""
+    def pass_(cols, final):
+        c = cols
         b1 = c[4]
         b3 = c[2] + c[6]
         b4 = c[5] - c[3]
@@ -55,40 +59,45 @@ def _idct_tile(b):
                 y6 + y7, x0 + y5, y3 - x4, y4 - b7]
         if final:
             rows = [(r + 128) >> 8 for r in rows]
-        return jnp.stack(rows, axis=1)
+        return rows
 
-    b = pass_(b, final=False)
-    b = pass_(jnp.swapaxes(b, 1, 2), final=True)
-    return jnp.swapaxes(b, 1, 2)
+    # column pass: groups are the 8 rows of each block
+    rows_in = [b64[:, r * 8:(r + 1) * 8] for r in range(8)]
+    rows_out = pass_(rows_in, final=False)
+    mid = jnp.concatenate(rows_out, axis=1)
+    # row pass: groups are the 8 columns of each block
+    cols_in = [mid[:, cidx::8] for cidx in range(8)]
+    cols_out = pass_(cols_in, final=True)
+    # interleave back: out[:, r*8+c] = cols_out[c][:, r]
+    stacked = jnp.stack(cols_out, axis=2)        # [T, 8(r), 8(c)]
+    return stacked.reshape(b64.shape[0], 64)
 
 
-def _kernel(levels_ref, qmat_ref, meta_ref, scale_ref, out_ref):
-    """levels: [T, 64] int32 raw levels; qmat: [T, 64] quant entries;
-    meta: [T, 4] int32 (intra, qscale, nfinal, pad); scale: [1, 64]
-    IDCT prescale constants; out: [T, 64]."""
-    levels = levels_ref[:]
-    qmat = qmat_ref[:]
-    intra = meta_ref[:, 0:1]                     # [T, 1]
+def _kernel(levels_ref, qs_ref, meta_ref, out_ref):
+    lv = levels_ref[:, :64]
+    qmat = qs_ref[:, :64]
+    scale = qs_ref[:, 64:]
+    intra = meta_ref[:, 0:1]
     qscale = meta_ref[:, 1:2]
     nfinal = meta_ref[:, 2:3]
 
     # exact dequant (player.cpp:1110-1121)
-    v = levels * 2
-    sign = jnp.sign(v)
-    v = jnp.where(intra == 1, v, v + sign)
+    v = lv * 2
+    v = jnp.where(intra == 1, v, v + jnp.sign(v))
     num = v * qscale * qmat
     q = jnp.where(num < 0, -((-num) // 16), num // 16)
     q = jnp.where((q & 1) == 0, q - jnp.sign(q), q)
     q = jnp.clip(q, -2048, 2047)
-    b = q * scale_ref[:]
+    b = q * scale
     dc_col = (jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1) == 0)
-    b = jnp.where((intra == 1) & dc_col, levels << 8, b)
+    b = jnp.where((intra == 1) & dc_col, lv << 8, b)
 
-    full = _idct_tile(b.reshape(-1, 8, 8)).reshape(-1, 64)
-    dc = (b[:, 0:1] >> 8)
+    full = _idct_cols(b)
+    dc = b[:, 0:1] >> 8
     shortcut = (nfinal == 1) & (intra == 0)
     out = jnp.where(shortcut, jnp.broadcast_to(dc, full.shape), full)
-    out_ref[:] = jnp.where(nfinal == 0, 0, out)
+    out = jnp.where(nfinal == 0, 0, out)
+    out_ref[:] = jnp.pad(out, ((0, 0), (0, 64)))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -104,26 +113,28 @@ def block_residuals_pallas(levels, intra, qscale, qmat, nfinal,
     pad = (-B) % TILE
     Bp = B + pad
 
-    lv = jnp.pad(levels.reshape(B, 64), ((0, pad), (0, 0)))
-    qm = jnp.pad(qmat.reshape(B, 64), ((0, pad), (0, 0)))
+    lv = jnp.pad(levels.reshape(B, 64), ((0, pad), (0, 64)))
+    scale = jnp.broadcast_to(
+        jnp.asarray(V.SCALE_DCT_Q, jnp.int32)[None, :], (Bp, 64))
+    qs = jnp.concatenate(
+        [jnp.pad(qmat.reshape(B, 64), ((0, pad), (0, 0))), scale],
+        axis=1)
     meta = jnp.stack([
         intra.reshape(B).astype(jnp.int32),
         qscale.reshape(B),
-        nfinal.reshape(B),
-        jnp.zeros(B, jnp.int32)], axis=1)
-    meta = jnp.pad(meta, ((0, pad), (0, 0)))
+        nfinal.reshape(B)], axis=1)
+    meta = jnp.pad(meta, ((0, pad), (0, 125)))
 
     out = pl.pallas_call(
         _kernel,
         grid=(Bp // TILE,),
         in_specs=[
-            pl.BlockSpec((TILE, 64), lambda i: (i, 0)),
-            pl.BlockSpec((TILE, 64), lambda i: (i, 0)),
-            pl.BlockSpec((TILE, 4), lambda i: (i, 0)),
-            pl.BlockSpec((1, 64), lambda i: (0, 0)),
+            pl.BlockSpec((TILE, 128), lambda i: (i, 0)),
+            pl.BlockSpec((TILE, 128), lambda i: (i, 0)),
+            pl.BlockSpec((TILE, 128), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((TILE, 64), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((Bp, 64), jnp.int32),
+        out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
         interpret=interpret,
-    )(lv, qm, meta, jnp.asarray(V.SCALE_DCT_Q, jnp.int32)[None, :])
-    return out[:B].reshape(N, MB, 6, 8, 8)
+    )(lv, qs, meta)
+    return out[:B, :64].reshape(N, MB, 6, 8, 8)
