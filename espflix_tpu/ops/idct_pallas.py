@@ -22,7 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
 
 from espflix_tpu.core import vlc_tables as V
 
@@ -30,11 +30,9 @@ TILE = 256  # blocks per grid step
 
 
 def _idct_cols(b64):
-    """Exact fixed-point IDCT on a [T, 64] tile (raster blocks).
-
-    Column pass operates on row-slices b64[:, r*8:(r+1)*8]; row pass on
-    strided slices b64[:, c::8]; both are static slices Mosaic handles.
-    (player.cpp:922-996 semantics.)"""
+    """Exact fixed-point IDCT on a [T, 64] tile (raster blocks),
+    player.cpp:922-996 semantics, built from unit-width static column
+    slices (Mosaic does not lower strided slicing)."""
     def pass_(cols, final):
         c = cols
         b1 = c[4]
@@ -61,16 +59,22 @@ def _idct_cols(b64):
             rows = [(r + 128) >> 8 for r in rows]
         return rows
 
-    # column pass: groups are the 8 rows of each block
-    rows_in = [b64[:, r * 8:(r + 1) * 8] for r in range(8)]
-    rows_out = pass_(rows_in, final=False)
-    mid = jnp.concatenate(rows_out, axis=1)
-    # row pass: groups are the 8 columns of each block
-    cols_in = [mid[:, cidx::8] for cidx in range(8)]
-    cols_out = pass_(cols_in, final=True)
-    # interleave back: out[:, r*8+c] = cols_out[c][:, r]
-    stacked = jnp.stack(cols_out, axis=2)        # [T, 8(r), 8(c)]
-    return stacked.reshape(b64.shape[0], 64)
+    # 64 unit-width column views (static slices only; Mosaic does not
+    # lower strided slicing)
+    cols = [b64[:, k:k + 1] for k in range(64)]
+    # column pass: transform over r for each block-column c
+    mid = [None] * 64
+    for c in range(8):
+        group = pass_([cols[r * 8 + c] for r in range(8)], final=False)
+        for r in range(8):
+            mid[r * 8 + c] = group[r]
+    # row pass: transform over c for each block-row r
+    out = [None] * 64
+    for r in range(8):
+        group = pass_([mid[r * 8 + c] for c in range(8)], final=True)
+        for c in range(8):
+            out[r * 8 + c] = group[c]
+    return jnp.concatenate(out, axis=1)
 
 
 def _kernel(levels_ref, qs_ref, meta_ref, out_ref):

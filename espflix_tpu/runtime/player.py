@@ -11,7 +11,7 @@ decodes thousands of sessions per jitted device call.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum
 
 from espflix_tpu.runtime.checkpoint import PositionStore

@@ -12,7 +12,7 @@ lanes are masked; a corrupt stream only parks its own lane
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import jax.numpy as jnp
@@ -21,7 +21,7 @@ from espflix_tpu.audio.sbc import SbcDecoder
 from espflix_tpu.models import mpeg1 as M
 from espflix_tpu.models import sbc as dsbc
 from espflix_tpu.runtime.events import Ev, EventLog, Timers
-from espflix_tpu.runtime.player import PlayerSession, State
+from espflix_tpu.runtime.player import PlayerSession
 
 
 @dataclass

@@ -205,3 +205,16 @@ def test_timers_percentages():
         pass
     r = t.report()
     assert r["a"]["calls"] == 1
+
+
+def test_menu_render():
+    from espflix_tpu.video.menu import menu_frame
+
+    y, u, v = menu_frame(["one", "two", "three"], 1)
+    assert y.shape == (192, 352) and (u == 128).all()
+    # selection highlight fill present on the second row band
+    band = y[35:50, 40:300]
+    assert (band >= 0x40).mean() > 0.3
+    # unselected rows use the dim fill
+    band0 = y[18:33, 40:300]
+    assert ((band0 == 0x10) | (band0 > 0x10)).mean() > 0.3
