@@ -255,8 +255,9 @@ def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
     new_frames, presented = dense_compose(
         coeffs, recs, nfinal, intra_q, non_intra_q, active, frames,
         mb_width=mb_width, mb_height=mb_height)
-    ok = active & ~st["error"]
-    info = dict(error=st["error"], ok=ok,
+    err = st["error"] | (st["state"] != vlc_scan.ST_DONE)
+    ok = active & ~err
+    info = dict(error=err, ok=ok,
                 iters=jnp.broadcast_to(iters, (N,)))
     return new_frames, presented, info
 

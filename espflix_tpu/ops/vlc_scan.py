@@ -10,7 +10,11 @@ syntax element per lane per step:
   * a single mega-LUT gather resolves any VLC in any state (all the
     Annex-B tables concatenated with per-state base offsets);
   * masked per-state transition math runs on the VPU;
-  * coefficients/macroblock records are emitted with flat scatters.
+  * at most one (index, value) emission per lane per step is appended
+    to a [T, N] log by a contiguous row write; the dense coefficient/
+    record buffers are built with ONE bulk scatter after the loop
+    (per-step scatters and a carried dense buffer both degrade badly
+    on TPU at large N).
 
 The scan produces RAW levels plus per-MB metadata; dequantization, IDCT
 and motion compensation run afterwards as dense batched kernels
@@ -160,7 +164,7 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
     COEF_STRIDE = mb_count * 384
 
     def step(carry):
-        words, st, out = carry
+        words, st = carry
         N = st["state"].shape[0]
 
         state = st["state"]
@@ -209,11 +213,7 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
         consumed = jnp.zeros_like(bitpos)
         error = st["error"]
 
-        # ONE combined output buffer per lane with regions
-        # [recs | nfinal | coeffs | trash]; every step does exactly one
-        # batched scatter (a scatter costs ~16us/step on TPU runtimes
-        # regardless of masking, so the three logical emissions share
-        # it; the emitting states are mutually exclusive per lane).
+        # emission slots; TRASH marks "no emission this step"
         TRASH = mb_count + MB6 + COEF_STRIDE
         coef_idx = jnp.full((N,), TRASH, jnp.int32)
         coef_val = jnp.zeros((N,), jnp.int32)
@@ -487,61 +487,77 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
         new["bitpos"] = bp
         new["error"] = error
 
-        # ---------- single combined scatter (batched 2D:
-        # put_along_axis keeps an explicit batch dim so XLA can prove
-        # per-lane disjointness).  The three emission kinds come from
-        # mutually exclusive states; fold to one (idx, val) per lane.
+        # ---------- emission: ONE packed word per lane per step -------
+        # The emitting states are mutually exclusive per lane, so each
+        # step produces at most one (index, value) pair; it is appended
+        # to a [T_max, N] log with a contiguous row write (carrying the
+        # dense output buffer through the loop and scattering per step
+        # blows past VMEM at large N and degrades ~70x).  The dense
+        # buffers are built afterwards with one bulk scatter.
         idx1 = jnp.where(rec_idx != TRASH, rec_idx,
                          jnp.where(nfin_idx != TRASH, nfin_idx, coef_idx))
         val1 = jnp.where(rec_idx != TRASH, rec_val,
                          jnp.where(nfin_idx != TRASH, nfin_val, coef_val))
-        buf = jnp.put_along_axis(
-            out["buf"], idx1[:, None], val1[:, None], axis=1,
-            inplace=False)
-        out = dict(buf=buf)
-        return (words, new, out)
+        return (words, new), (idx1, val1)
 
     return step
 
 
 def run_scan(words: jnp.ndarray, init_state: dict, mb_width: int,
-             mb_count: int, max_steps: int, unroll: int = 1):
+             mb_count: int, max_steps: int, unroll: int = 1,
+             max_symbols: int = 20000):
     """Run the FSM to completion (or max_steps).  words: uint32[N, W].
+
+    max_steps bounds the emission log rows (one row per step); lanes
+    still scanning when it is hit finish with their error flag set by
+    construction (state stays != DONE; callers see partial output).
 
     unroll: symbols decoded per while-loop iteration (amortizes loop
     overhead; DONE lanes self-mask so over-running is harmless).
 
     Returns (coeffs int16[N, mb_count*384], recs int32[N, mb_count],
-    nfinal int32[N, mb_count*6], final_state)."""
+    nfinal int32[N, mb_count*6], final_state, iters)."""
     N, W = words.shape
+    # the emission log has one row per step, so the step budget is a
+    # SYMBOL budget (callers pass a bit budget; symbols <= bits).  Lanes
+    # still scanning at the cap finish with state != ST_DONE, which
+    # callers surface as a lane error.
+    max_steps = min(max_steps, max_symbols)
     consts = scanner_constants()
     step = make_scan_step(consts, mb_width, mb_count, W)
     MB6 = mb_count * 6
+    C_TOTAL = mb_count + MB6 + mb_count * 384
+    TRASH = C_TOTAL
 
-    out = dict(
-        buf=jnp.zeros((N, mb_count + MB6 + mb_count * 384 + 1),
-                      jnp.int32),
-    )
-    carry = (words, init_state, out)
+    log_idx = jnp.full((max_steps, N), TRASH, jnp.int32)
+    log_val = jnp.zeros((max_steps, N), jnp.int32)
 
     def cond(c_i):
-        c, i = c_i
-        return (i < max_steps) & jnp.any(c[1]["state"] != ST_DONE)
+        (w, st), li, lv, i = c_i
+        return (i < max_steps) & jnp.any(st["state"] != ST_DONE)
 
     def body(c_i):
-        c, i = c_i
-        for _ in range(unroll):
-            c = step(c)
-        return (c, i + unroll)
+        c, li, lv, i = c_i
+        for k in range(unroll):
+            c, (idx1, val1) = step(c)
+            li = jax.lax.dynamic_update_slice_in_dim(
+                li, idx1[None], i + k, axis=0)
+            lv = jax.lax.dynamic_update_slice_in_dim(
+                lv, val1[None], i + k, axis=0)
+        return (c, li, lv, i + unroll)
 
-    (words_out, st, out), iters = jax.lax.while_loop(
-        cond, body, (carry, jnp.int32(0)))
+    (words_out, st), log_idx, log_val, iters = jax.lax.while_loop(
+        cond, body, ((words, init_state), log_idx, log_val,
+                     jnp.int32(0)))
 
-    buf = out["buf"]
+    # bulk scatter: [T, N] logs -> dense [N, C_TOTAL (+trash)]
+    buf = jnp.zeros((N, C_TOTAL + 1), jnp.int32)
+    buf = jnp.put_along_axis(buf, log_idx.T, log_val.T, axis=1,
+                             inplace=False)
+
     recs = buf[:, :mb_count]
     nfinal = buf[:, mb_count:mb_count + MB6]
-    coeffs = buf[:, mb_count + MB6:mb_count + MB6 + mb_count * 384
-                 ].astype(jnp.int16)
+    coeffs = buf[:, mb_count + MB6:C_TOTAL].astype(jnp.int16)
     return coeffs, recs, nfinal, st, iters
 
 
