@@ -11,11 +11,12 @@ at the end (device-only block_until_ready is unreliable through this
 environment's TPU tunnel).
 
 Two pipeline configs:
-  --pipeline hybrid  (default): native C++ entropy decode feeding the
-      jitted device dense phase (dequant+IDCT + MXU one-hot mocomp +
-      compose).  Includes host tokenize + host->device upload per call.
-  --pipeline device: the all-device path (lane-parallel FSM scan on
-      device + the same dense phase) - the BASELINE north-star config.
+  --pipeline device (default): the all-device path (lane-parallel FSM
+      scan on device + dense dequant+IDCT + MXU one-hot mocomp +
+      compose) - the BASELINE north-star config, and the fastest here.
+  --pipeline hybrid: native C++ entropy decode feeding the same device
+      dense phase (includes host tokenize + host->device upload per
+      call; wins on hosts with fast interconnect + many cores).
 
 Prints one JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -43,7 +44,7 @@ def main():
     ap.add_argument("--distinct", type=int, default=8,
                     help="distinct content streams tiled across lanes")
     ap.add_argument("--pipeline", choices=["hybrid", "device"],
-                    default="hybrid")
+                    default="device")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
