@@ -148,6 +148,77 @@ def _bits_of(window, start, n):
     return ((window << start) >> sh).astype(jnp.int32)
 
 
+def _cascade(codes: dict, peek, max_bits: int):
+    """Prefix-free code dict -> (value, length) via a where-cascade.
+
+    Elementwise selects are effectively free on TPU (unlike table
+    gathers, which serialize per element on some runtimes); with a
+    prefix-free code set at most one compare matches.  length 0 =
+    invalid."""
+    val = jnp.zeros_like(peek)
+    ln = jnp.zeros_like(peek)
+    for code, v in codes.items():
+        L = len(code)
+        match = (peek >> (max_bits - L)) == int(code, 2)
+        val = jnp.where(match, v, val)
+        ln = jnp.where(match, L, ln)
+    return val, ln
+
+
+def _cascade_table(values, idx):
+    """values[idx] for a small constant table via where-cascade."""
+    out = jnp.full_like(idx, int(values[0]))
+    for k in range(1, len(values)):
+        out = jnp.where(idx == k, int(values[k]), out)
+    return out
+
+
+def _dct_decode(win, peek17, is_first):
+    """Table B-14 decode from the 32-bit window, gather-free.
+
+    Returns (kind, bits, run, level) with the same semantics as the
+    LUT entries (sign consumed for coefficient codes; escape = 12 bits
+    consumed with run extracted; EOB only in the not-first form)."""
+    # codes excluding the '1'-prefix short forms (handled below)
+    run = jnp.zeros_like(peek17)
+    lev = jnp.zeros_like(peek17)
+    ln = jnp.zeros_like(peek17)
+    for code, (r, l) in V.DCT_COEFF.items():
+        if code == "11":
+            continue
+        L = len(code)
+        match = (peek17 >> (17 - L)) == int(code, 2)
+        run = jnp.where(match, r, run)
+        lev = jnp.where(match, l, lev)
+        ln = jnp.where(match, L, ln)
+    sign = _bits_of(win, ln, 1)
+    level = jnp.where(sign == 1, -lev, lev)
+    bits = ln + 1
+    kind = jnp.where(ln > 0, K_COEFF, K_INVALID)
+
+    # escape '000001' + 6-bit run
+    esc = (peek17 >> 11) == 0b000001
+    kind = jnp.where(esc, K_ESCAPE, kind)
+    bits = jnp.where(esc, 12, bits)
+    run = jnp.where(esc, _bits_of(win, jnp.full_like(ln, 6), 6), run)
+    level = jnp.where(esc, 0, level)
+
+    # leading-'1' short forms (player.cpp:552-556,1080-1087)
+    msb = (peek17 >> 16) == 1
+    b2 = (peek17 >> 15) & 1
+    sgn1 = jnp.where(is_first, b2, (peek17 >> 14) & 1)
+    one = jnp.where(sgn1 == 1, -1, 1)
+    kind = jnp.where(msb & is_first, K_COEFF, kind)
+    kind = jnp.where(msb & ~is_first & (b2 == 0), K_EOB, kind)
+    kind = jnp.where(msb & ~is_first & (b2 == 1), K_COEFF, kind)
+    bits = jnp.where(msb, jnp.where(is_first, 2, jnp.where(
+        b2 == 1, 3, 2)), bits)
+    run = jnp.where(msb, 0, run)
+    level = jnp.where(msb, jnp.where(
+        ~is_first & (b2 == 0), 0, one), level)
+    return kind, bits, run, level
+
+
 def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
     """Returns step(carry) -> carry for one symbol per lane.
 
@@ -156,10 +227,6 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
       st: dict of int32[N] state vars
       out: dict of output buffers (flat, with a trash slot at the end)
     """
-    mega = consts["mega_lut"]
-    next_blk_lut = consts["next_blk"]
-    zz = consts["zigzag"]
-    B = consts["bases"]
     MB6 = mb_count * 6
     COEF_STRIDE = mb_count * 384
 
@@ -173,40 +240,40 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
         peek17 = (win >> jnp.uint32(15)).astype(jnp.int32)
         peek23_zero = (win >> jnp.uint32(9)) == 0
 
-        # ------- unified LUT lookup (valid in VLC states) ----------------
+        # ------- gather-free VLC decode: all tables as where-cascades ----
+        # (every decoder runs every step; elementwise selects are ~free,
+        # whereas the former shared mega-LUT gather serialized per lane)
         is_p = st["pic_type"] == 2
-        lut_base = jnp.select(
-            [state == ST_MBADDR,
-             state == ST_MBTYPE,
-             state == ST_CBP,
-             (state == ST_MVH) | (state == ST_MVV),
-             state == ST_DC,
-             state == ST_COEF],
-            [jnp.full_like(state, B["MBADDR"]),
-             jnp.where(is_p, B["MBTYPE_P"], B["MBTYPE_I"]),
-             jnp.full_like(state, B["CBP"]),
-             jnp.full_like(state, B["MOTION"]),
-             jnp.where(st["blk"] < 4, B["DC_LUM"], B["DC_CHROM"]),
-             jnp.where(st["n"] == 0, B["DCT_FIRST"], B["DCT_NEXT"])],
+        a_val, a_ln = _cascade(V.MB_ADDR_INC, peek17 >> 6, 11)
+        ti_val, ti_ln = _cascade(V.MB_TYPE_I, peek17 >> 11, 6)
+        tp_val, tp_ln = _cascade(V.MB_TYPE_P, peek17 >> 11, 6)
+        t_val = jnp.where(is_p, tp_val, ti_val)
+        t_ln = jnp.where(is_p, tp_ln, ti_ln)
+        c_val, c_ln = _cascade(V.CBP, peek17 >> 8, 9)
+        m_val, m_ln = _cascade(V.MOTION_CODE, peek17 >> 6, 11)
+        dl_val, dl_ln = _cascade(V.DC_SIZE_LUM, peek17 >> 9, 8)
+        dc_val, dc_ln = _cascade(V.DC_SIZE_CHROM, peek17 >> 9, 8)
+        d_val = jnp.where(st["blk"] < 4, dl_val, dc_val)
+        d_ln = jnp.where(st["blk"] < 4, dl_ln, dc_ln)
+        k_dct, b_dct, r_dct, l_dct = _dct_decode(
+            win, peek17, st["n"] == 0)
+
+        in_coef = state == ST_COEF
+        hdr_val = jnp.select(
+            [state == ST_MBADDR, state == ST_MBTYPE, state == ST_CBP,
+             (state == ST_MVH) | (state == ST_MVV), state == ST_DC],
+            [a_val, t_val, c_val, m_val, d_val],
             default=jnp.zeros_like(state))
-        lut_bits = jnp.select(
-            [state == ST_MBADDR,
-             state == ST_MBTYPE,
-             state == ST_CBP,
-             (state == ST_MVH) | (state == ST_MVV),
-             state == ST_DC,
-             state == ST_COEF],
-            [jnp.full_like(state, 11), jnp.full_like(state, 6),
-             jnp.full_like(state, 9), jnp.full_like(state, 11),
-             jnp.full_like(state, 8), jnp.full_like(state, 17)],
-            default=jnp.full_like(state, 17))
-        idx = lut_base + (peek17 >> (17 - lut_bits))
-        entry = mega[idx]
-        e_kind = (entry >> 24) & 0x3
-        e_bits = (entry >> 18) & 0x1F
-        e_run = (entry >> 12) & 0x3F
-        e_val = entry & 0xFFF
-        e_val = jnp.where(e_val >= 0x800, e_val - 0x1000, e_val)
+        hdr_ln = jnp.select(
+            [state == ST_MBADDR, state == ST_MBTYPE, state == ST_CBP,
+             (state == ST_MVH) | (state == ST_MVV), state == ST_DC],
+            [a_ln, t_ln, c_ln, m_ln, d_ln],
+            default=jnp.zeros_like(state))
+        e_kind = jnp.where(in_coef, k_dct,
+                           jnp.where(hdr_ln > 0, K_COEFF, K_INVALID))
+        e_bits = jnp.where(in_coef, b_dct, hdr_ln)
+        e_run = jnp.where(in_coef, r_dct, 0)
+        e_val = jnp.where(in_coef, l_dct, hdr_val)
 
         # defaults: stay put
         new = {k: v for k, v in st.items()}
@@ -265,10 +332,13 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
         more_slices = st["slice_idx"] + 1 < st["n_slices"]
         nsl = st["slice_idx"] + 1
         safe_nsl = jnp.clip(nsl, 0, st["slice_starts"].shape[1] - 1)
-        nsl_start = jnp.take_along_axis(
-            st["slice_starts"], safe_nsl[:, None], axis=1)[:, 0]
-        nsl_row = jnp.take_along_axis(
-            st["slice_rows"], safe_nsl[:, None], axis=1)[:, 0]
+        nsl_start = st["slice_starts"][:, 0]
+        nsl_row = st["slice_rows"][:, 0]
+        for k in range(1, st["slice_starts"].shape[1]):
+            nsl_start = jnp.where(safe_nsl == k,
+                                  st["slice_starts"][:, k], nsl_start)
+            nsl_row = jnp.where(safe_nsl == k,
+                                st["slice_rows"][:, k], nsl_row)
         new["slice_idx"] = sel(done_slice, nsl, new["slice_idx"])
         new["bitpos"] = st["bitpos"]  # consumed applied at the end
         new["state"] = sel(done_slice,
@@ -406,7 +476,7 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
         consumed = sel(m, e_bits, consumed)
         cbp = e_val
         new["cbp"] = sel(m & ~bad, cbp, new["cbp"])
-        first_blk = next_blk_lut[jnp.clip(cbp, 0, 63)]
+        first_blk = 5 - (31 - jax.lax.clz(jnp.maximum(cbp, 1)))
         # cbp from the table is 1..63 so first_blk < 6 always
         new["blk"] = sel(m & ~bad, first_blk, new["blk"])
         new["n"] = sel(m & ~bad, 0, new["n"])
@@ -456,7 +526,7 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
         level = sel(is_esc, esc_level, e_val)
         nn = st["n"] + e_run
         oob = m & ~bad & ~is_eob & (nn >= 64)
-        zz_pos = zz[jnp.clip(nn, 0, 63)]
+        zz_pos = _cascade_table(ZZ_NP, jnp.clip(nn, 0, 63))
         consumed = sel(m, e_bits + sel(is_esc, esc_extra, 0), consumed)
         emit = m & ~bad & ~is_eob & ~oob
         mi = mb_index(st["mb_x"], st["mb_y"])
@@ -469,7 +539,8 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
         nfin_idx = sel(meob, mb_count + mi * 6 + st["blk"], nfin_idx)
         nfin_val = sel(meob, st["n"], nfin_val)
         rem = st["cbp"] & ((jnp.int32(0x20) >> st["blk"]) - 1)
-        nb = next_blk_lut[jnp.clip(rem, 0, 63)]
+        nb = jnp.where(rem > 0,
+                       5 - (31 - jax.lax.clz(jnp.maximum(rem, 1))), 6)
         have_more = nb < 6
         intra = (st["mb_type"] & V.MBT_INTRA) != 0
         new["blk"] = sel(meob & have_more, nb, new["blk"])
