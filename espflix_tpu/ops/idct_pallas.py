@@ -13,6 +13,12 @@ Layout: blocks are processed as [TILE, 128] int32 tiles (Mosaic wants
 raster order; 64..127 are auxiliary (quant matrix tile pairs with the
 IDCT prescale constants there; the meta tile carries intra/qscale/
 nfinal in its first columns).
+
+Known inefficiency: the butterfly works on unit-width column slices,
+which Mosaic widens to full 128-lane temporaries (the 16MB scoped-VMEM
+budget bounds TILE at 128).  A sublane-major layout (coefficient index
+on the sublane axis) is the round-2 improvement; even so this measures
+1.3x the jnp path on hardware.
 """
 
 from __future__ import annotations
@@ -26,7 +32,7 @@ from jax.experimental import pallas as pl
 
 from espflix_tpu.core import vlc_tables as V
 
-TILE = 256  # blocks per grid step
+TILE = 128  # blocks per grid step (VMEM-bounded incl. pipeline buffers)
 
 
 def _idct_cols(b64):
