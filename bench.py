@@ -45,6 +45,9 @@ def main():
                     help="distinct content streams tiled across lanes")
     ap.add_argument("--pipeline", choices=["hybrid", "device"],
                     default="device")
+    ap.add_argument("--idct", choices=["auto", "pallas", "jnp"],
+                    default="auto",
+                    help="dequant+IDCT kernel (auto: Pallas on TPU)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -92,9 +95,10 @@ def main():
     if args.pipeline == "device":
         import functools
 
+        idct = {"auto": None, "pallas": True, "jnp": False}[args.idct]
         dec = functools.partial(
             M.decode_picture_batch, mb_width=mbw, mb_height=mbh,
-            max_steps=wpl * 32)
+            max_steps=wpl * 32, use_pallas_idct=idct)
         batches = []
         for sel in per_pic:
             b = M.make_picture_batch(sel, words_per_lane=wpl,

@@ -233,7 +233,7 @@ def _pin(x):
 def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
                         pic_type, full_pel, r_size, intra_q, non_intra_q,
                         active, frames, *, mb_width: int, mb_height: int,
-                        max_steps: int):
+                        max_steps: int, use_pallas_idct=None):
     """Decode one picture per lane; returns (new_frames, presented, info).
 
     presented: dict(y,u,v) uint8 planes of the just-decoded pictures
@@ -254,7 +254,8 @@ def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
 
     new_frames, presented = dense_compose(
         coeffs, recs, nfinal, intra_q, non_intra_q, active, frames,
-        mb_width=mb_width, mb_height=mb_height)
+        mb_width=mb_width, mb_height=mb_height,
+        use_pallas_idct=use_pallas_idct)
     err = st["error"] | (st["state"] != vlc_scan.ST_DONE)
     ok = active & ~err
     info = dict(error=err, ok=ok,
@@ -264,14 +265,20 @@ def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
 
 def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
                   frames, *, mb_width: int, mb_height: int,
-                  use_pallas_idct: bool = False):
+                  use_pallas_idct=None):
     """Shared dense phase: dequant+IDCT + mocomp + per-pixel compose.
 
     Consumes the scanner-format buffers (from the device FSM scan OR the
     native tokenizer fast path) and produces (new_frames, presented).
     use_pallas_idct selects the fused VMEM-resident Pallas kernel for
-    dequant+IDCT (bit-identical; validated on TPU, ~1.3x the jnp path;
-    jnp stays the default for portability)."""
+    dequant+IDCT (bit-identical; 2.5x the jnp path standalone on a real
+    v5e, but in-graph at N=1024 its marshalling -- 64->128 lane padding
+    plus materialized operand layouts, ~830MB/operand -- costs more
+    than the kernel saves: 56.9 vs 29.9 rt streams/chip measured
+    back-to-back.  jnp therefore stays the default; the kernel is the
+    round-2 fusion target with a sublane-major layout)."""
+    if use_pallas_idct is None:
+        use_pallas_idct = False
     N = recs.shape[0]
     mb_count = mb_width * mb_height
     H, W = mb_height * 16, mb_width * 16
@@ -362,8 +369,8 @@ dense_compose_jit = functools.partial(
                               "use_pallas_idct"))(dense_compose)
 
 decode_picture_batch = functools.partial(
-    jax.jit, static_argnames=("mb_width", "mb_height", "max_steps"))(
-        decode_picture_impl)
+    jax.jit, static_argnames=("mb_width", "mb_height", "max_steps",
+                              "use_pallas_idct"))(decode_picture_impl)
 
 
 # ---------------------------------------------------------------------------

@@ -60,3 +60,62 @@ def test_dense_coefficients(seed):
     rng = np.random.default_rng(seed)
     sc = E.random_script(rng, n_pictures=2, max_coeffs=30, **SMALL)
     check_lanes([E.encode_es(sc)])
+
+def _multirow_slice_es():
+    """Hand-built I-picture whose single slice spans two macroblock rows.
+
+    The reference slice loop (player.cpp slice(): mb_x wrap -> mb_y++)
+    keeps decoding past the end of the start-code row until the
+    bitstream runs out of macroblocks; slices are NOT bounded to one
+    row.  12 DC-only intra MBs on a 6x2 MB picture, DC predictors
+    chained across the row boundary.
+    """
+    from espflix_tpu.core.bitio import BitWriter
+
+    w = BitWriter()
+    W, H = 96, 32
+    w.start_code(0xB3)
+    w.put(W, 12); w.put(H, 12); w.put(1, 4); w.put(5, 4)
+    w.put(2928, 18); w.put(1, 1); w.put(20, 10)
+    w.put(0, 1); w.put(0, 1); w.put(0, 1)
+    w.start_code(0x00)
+    w.put(0, 10); w.put(1, 3); w.put(0xFFFF, 16); w.put(0, 1)
+    w.start_code(0x01)            # slice row 0 carries BOTH rows
+    w.put(8, 5); w.put(0, 1)      # qscale, no extra
+    y_dc = u_dc = v_dc = 128
+    for k in range(12):
+        E.put_addr_inc(w, 1)
+        w.put_str("1")            # mb_type: intra
+        for b in range(6):
+            dc = 40 + k * 10 + b
+            if b < 4:
+                E.put_dc(w, dc - y_dc, True); y_dc = dc
+            elif b == 4:
+                E.put_dc(w, dc - u_dc, False); u_dc = dc
+            else:
+                E.put_dc(w, dc - v_dc, False); v_dc = dc
+            w.put_str("10")       # EOB
+    w.align()
+    w.start_code(0xB7)
+    return w.tobytes()
+
+
+def test_slice_spanning_multiple_mb_rows():
+    es = _multirow_slice_es()
+    ref = ref_decode(es)
+    assert len(ref) == 1
+    # second MB row was really decoded (dc deltas chained across rows)
+    assert [int(ref[0].y[0, c * 16]) for c in range(6)] == \
+        [40, 50, 60, 70, 80, 90]
+    assert [int(ref[0].y[16, c * 16]) for c in range(6)] == \
+        [100, 110, 120, 130, 140, 150]
+    check_lanes([es])
+
+    from espflix_tpu.tools import oracle
+    if oracle.available():
+        frames, _ = oracle.decode_mpeg1(es, max_frames=2,
+                                        width=96, height=32)
+        oy, ou, ov = frames[0]
+        assert np.array_equal(ref[0].y, oy)
+        assert np.array_equal(ref[0].u, ou)
+        assert np.array_equal(ref[0].v, ov)
