@@ -233,11 +233,20 @@ def _pin(x):
 def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
                         pic_type, full_pel, r_size, intra_q, non_intra_q,
                         active, frames, *, mb_width: int, mb_height: int,
-                        max_steps: int, use_pallas_idct=None):
+                        max_steps: int, use_pallas_idct=None,
+                        slice_parallel: bool = False,
+                        peek: str = "gather"):
     """Decode one picture per lane; returns (new_frames, presented, info).
 
     presented: dict(y,u,v) uint8 planes of the just-decoded pictures
     (lanes not active return their previous current plane).
+
+    slice_parallel runs each SLICE as its own scan row (slices are
+    independent decode units: DC/MV predictors and qscale reset at each
+    slice header, player.cpp:1239-1259), cutting while-loop trip count
+    by ~the slice count; the per-step cost of this runtime is nearly
+    row-count-independent so this is a near-S-fold scan win.  max_steps
+    then bounds the LONGEST SLICE's symbol count, not the picture's.
 
     Pure lane-local function: safe to run whole (single shard) or inside
     shard_map over a 'streams' mesh axis (each shard decodes its local
@@ -247,16 +256,34 @@ def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
     mb_count = mb_width * mb_height
     H, W = mb_height * 16, mb_width * 16
 
-    st0 = vlc_scan.initial_state(
-        N, slice_starts, slice_rows, n_slices, pic_type, full_pel, r_size)
-    coeffs, recs, nfinal, st, iters = vlc_scan.run_scan(
-        words, st0, mb_width, mb_count, max_steps)
+    if slice_parallel:
+        S = slice_starts.shape[1]
+        NS = N * S
+        sub_alive = jnp.arange(S)[None, :] < n_slices[:, None]
+        st0 = vlc_scan.initial_state(
+            NS,
+            slice_starts.reshape(NS, 1),
+            slice_rows.reshape(NS, 1),
+            sub_alive.astype(jnp.int32).reshape(NS),
+            jnp.repeat(pic_type, S), jnp.repeat(full_pel, S),
+            jnp.repeat(r_size, S))
+        coeffs, recs, nfinal, st, iters = vlc_scan.run_scan(
+            jnp.repeat(words, S, axis=0), st0, mb_width, mb_count,
+            max_steps, out_groups=S, peek=peek)
+        err_sub = st["error"] | (st["state"] != vlc_scan.ST_DONE)
+        err = err_sub.reshape(N, S).any(axis=1)
+    else:
+        st0 = vlc_scan.initial_state(
+            N, slice_starts, slice_rows, n_slices, pic_type, full_pel,
+            r_size)
+        coeffs, recs, nfinal, st, iters = vlc_scan.run_scan(
+            words, st0, mb_width, mb_count, max_steps, peek=peek)
+        err = st["error"] | (st["state"] != vlc_scan.ST_DONE)
 
     new_frames, presented = dense_compose(
         coeffs, recs, nfinal, intra_q, non_intra_q, active, frames,
         mb_width=mb_width, mb_height=mb_height,
         use_pallas_idct=use_pallas_idct)
-    err = st["error"] | (st["state"] != vlc_scan.ST_DONE)
     ok = active & ~err
     info = dict(error=err, ok=ok,
                 iters=jnp.broadcast_to(iters, (N,)))
@@ -370,7 +397,8 @@ dense_compose_jit = functools.partial(
 
 decode_picture_batch = functools.partial(
     jax.jit, static_argnames=("mb_width", "mb_height", "max_steps",
-                              "use_pallas_idct"))(decode_picture_impl)
+                              "use_pallas_idct", "slice_parallel",
+                              "peek"))(decode_picture_impl)
 
 
 # ---------------------------------------------------------------------------

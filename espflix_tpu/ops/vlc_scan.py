@@ -122,17 +122,31 @@ def scanner_constants():
     )
 
 
-def _peek_window(words, bitpos):
+def _peek_window(words, bitpos, mode: str = "gather"):
     """32 bits starting at bitpos (MSB-aligned), as uint32.
 
-    words: uint32[N, W]; bitpos int32[N].  Uses take_along_axis so the
-    gather carries an explicit batch dimension -- XLA vectorizes it for
-    divergent per-lane positions (a flat [N*W] gather does not)."""
+    words: uint32[N, W]; bitpos int32[N].
+
+    mode="gather": take_along_axis pair gather (the gather carries an
+    explicit batch dimension so XLA vectorizes divergent positions).
+    mode="reduce": one-hot masked reductions over the words axis --
+    dense vector work with zero gathers, for runtimes where divergent
+    gathers serialize per element (measured ~60ns/elem here: the pair
+    gather is the dominant per-step cost at N=1024)."""
     w_idx = bitpos >> 5
     off = (bitpos & 31).astype(jnp.uint32)
-    pair = jnp.stack([w_idx, w_idx + 1], axis=1)
-    got = jnp.take_along_axis(words, pair, axis=1)
-    w0, w1 = got[:, 0], got[:, 1]
+    if mode == "reduce":
+        W = words.shape[1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        z = jnp.uint32(0)
+        w0 = jnp.where(iota == w_idx[:, None], words, z).sum(
+            axis=1, dtype=jnp.uint32)
+        w1 = jnp.where(iota == w_idx[:, None] + 1, words, z).sum(
+            axis=1, dtype=jnp.uint32)
+    else:
+        pair = jnp.stack([w_idx, w_idx + 1], axis=1)
+        got = jnp.take_along_axis(words, pair, axis=1)
+        w0, w1 = got[:, 0], got[:, 1]
     hi = (w0 << off)
     lo = jnp.where(off == 0, jnp.uint32(0), w1 >> (jnp.uint32(32) - off))
     return hi | lo
@@ -219,7 +233,8 @@ def _dct_decode(win, peek17, is_first):
     return kind, bits, run, level
 
 
-def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
+def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int,
+                   peek: str = "gather"):
     """Returns step(carry) -> carry for one symbol per lane.
 
     Carry pytree:
@@ -236,7 +251,7 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
 
         state = st["state"]
         bitpos = st["bitpos"]
-        win = _peek_window(words, bitpos)
+        win = _peek_window(words, bitpos, mode=peek)
         peek17 = (win >> jnp.uint32(15)).astype(jnp.int32)
         peek23_zero = (win >> jnp.uint32(9)) == 0
 
@@ -576,7 +591,8 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int):
 
 def run_scan(words: jnp.ndarray, init_state: dict, mb_width: int,
              mb_count: int, max_steps: int, unroll: int = 1,
-             max_symbols: int = 20000):
+             max_symbols: int = 20000, out_groups: int = 1,
+             peek: str = "gather"):
     """Run the FSM to completion (or max_steps).  words: uint32[N, W].
 
     max_steps bounds the emission log rows (one row per step); lanes
@@ -586,8 +602,17 @@ def run_scan(words: jnp.ndarray, init_state: dict, mb_width: int,
     unroll: symbols decoded per while-loop iteration (amortizes loop
     overhead; DONE lanes self-mask so over-running is harmless).
 
-    Returns (coeffs int16[N, mb_count*384], recs int32[N, mb_count],
-    nfinal int32[N, mb_count*6], final_state, iters)."""
+    out_groups: scan rows per output row.  Slice-parallel decoding runs
+    each slice as its own scan row (the per-step cost of this runtime is
+    nearly row-count-independent, so S-fold rows at 1/S the steps is a
+    near-S-fold win); consecutive groups of `out_groups` rows scatter
+    into ONE dense output row.  Distinct slices own disjoint MB ranges,
+    so the combined scatter is collision-free on well-formed streams
+    (malformed ones flag lane errors and their output is discarded).
+
+    Returns (coeffs int16[G, mb_count*384], recs int32[G, mb_count],
+    nfinal int32[G, mb_count*6], final_state, iters) where
+    G = N // out_groups."""
     N, W = words.shape
     # the emission log has one row per step, so the step budget is a
     # SYMBOL budget (callers pass a bit budget; symbols <= bits).  Lanes
@@ -595,7 +620,7 @@ def run_scan(words: jnp.ndarray, init_state: dict, mb_width: int,
     # callers surface as a lane error.
     max_steps = min(max_steps, max_symbols)
     consts = scanner_constants()
-    step = make_scan_step(consts, mb_width, mb_count, W)
+    step = make_scan_step(consts, mb_width, mb_count, W, peek=peek)
     MB6 = mb_count * 6
     C_TOTAL = mb_count + MB6 + mb_count * 384
     TRASH = C_TOTAL
@@ -621,10 +646,12 @@ def run_scan(words: jnp.ndarray, init_state: dict, mb_width: int,
         cond, body, ((words, init_state), log_idx, log_val,
                      jnp.int32(0)))
 
-    # bulk scatter: [T, N] logs -> dense [N, C_TOTAL (+trash)]
-    buf = jnp.zeros((N, C_TOTAL + 1), jnp.int32)
-    buf = jnp.put_along_axis(buf, log_idx.T, log_val.T, axis=1,
-                             inplace=False)
+    # bulk scatter: [T, N] logs -> dense [G, C_TOTAL (+trash)]
+    G = N // out_groups
+    idx = log_idx.T.reshape(G, out_groups * log_idx.shape[0])
+    val = log_val.T.reshape(G, out_groups * log_val.shape[0])
+    buf = jnp.zeros((G, C_TOTAL + 1), jnp.int32)
+    buf = jnp.put_along_axis(buf, idx, val, axis=1, inplace=False)
 
     recs = buf[:, :mb_count]
     nfinal = buf[:, mb_count:mb_count + MB6]
