@@ -2,12 +2,12 @@
 
 The reference samples an IR photodiode in the video ISR and decodes
 NEC/Apple pulses into HID-ish key codes (/root/reference/src/
-ir_input.h, mapped at espflix.cpp:1012-1040).  The 63.5 us GPIO
-demodulation is hardware-specific (an explicit non-goal, SURVEY.md);
-what the framework keeps is the *key-event -> playback state machine*
+ir_input.h, mapped at espflix.cpp:1012-1040).  The scanline-rate pulse
+demodulation itself lives in espflix_tpu/runtime/ir.py (all four wire
+protocols); this module is the *key-event -> playback state machine*
 surface with the same key codes and dispatch semantics
-(espflix.cpp:941-1008), so any transport (websocket, RPC, test script)
-can drive a lane like the remote drives the reference.
+(espflix.cpp:941-1008), so any transport (IR waveform, websocket, RPC,
+test script) can drive a lane like the remote drives the reference.
 """
 
 from __future__ import annotations
