@@ -218,3 +218,34 @@ def test_menu_render():
     # unselected rows use the dim fill
     band0 = y[18:33, 40:300]
     assert ((band0 == 0x10) | (band0 > 0x10)).mean() > 0.3
+
+
+def test_generated_splash_asset_plays():
+    """The procedural boot splash (espflix_tpu/assets.py) demuxes,
+    decodes bit-exact in the golden decoder, and plays through the
+    play_rom boot pathway (reference: splash.h + espflix.cpp:699)."""
+    import numpy as np
+    from espflix_tpu import assets
+    from espflix_tpu.streaming.ts import demux_ts
+    from espflix_tpu.core.refdec import Mpeg1Decoder
+
+    ts = assets.splash_ts()
+    assert ts == assets.splash_ts(refresh=True)   # deterministic
+    d = demux_ts(ts)
+    frames = Mpeg1Decoder().decode_es(d.video)
+    assert len(frames) == 24
+    # the fade: later frames are strictly brighter where the text is
+    assert int(frames[-1].y.mean()) > int(frames[2].y.mean())
+    assert d.audio                                 # sting is present
+
+    s = PlayerSession("file:///nonexistent")
+    s.play_rom(ts)
+    fleet = Fleet(1, words_per_lane=8192)
+    fleet.attach(0, s)
+    got = 0
+    for _ in range(60):
+        r = fleet.tick(decode_audio=False)
+        got += int(r.video_lanes[0])
+        if s.state == State.DONE:
+            break
+    assert got > 0 and s.state == State.DONE
