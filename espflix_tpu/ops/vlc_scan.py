@@ -152,6 +152,31 @@ def _peek_window(words, bitpos, mode: str = "gather"):
     return hi | lo
 
 
+def _peek_window_rows(words, bitpos):
+    """Row-layout peek: words (W, N) uint32, bitpos (1, N) int32.
+
+    One-hot masked reductions over the sublane (word) axis -- zero
+    gathers, 2-D tiles throughout; the form the Pallas scan kernel
+    lowers (cross-sublane reduces are native on TPU)."""
+    w_idx = bitpos >> 5
+    off = (bitpos & 31).astype(jnp.uint32)
+    W = words.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    # Mosaic has no unsigned reductions: reduce as int32 bits (exact --
+    # exactly one nonzero term per column) and bitcast back
+    wi = jax.lax.bitcast_convert_type(words, jnp.int32)
+    z = jnp.int32(0)
+    w0 = jax.lax.bitcast_convert_type(
+        jnp.where(iota == w_idx, wi, z).sum(
+            axis=0, keepdims=True, dtype=jnp.int32), jnp.uint32)
+    w1 = jax.lax.bitcast_convert_type(
+        jnp.where(iota == w_idx + 1, wi, z).sum(
+            axis=0, keepdims=True, dtype=jnp.int32), jnp.uint32)
+    hi = (w0 << off)
+    lo = jnp.where(off == 0, jnp.uint32(0), w1 >> (jnp.uint32(32) - off))
+    return hi | lo
+
+
 def _bits_of(window, start, n):
     """n bits of the 32-bit window starting at bit `start` (from MSB).
     start/n may be traced int32; result int32.  n==0 yields junk (callers
@@ -177,6 +202,16 @@ def _cascade(codes: dict, peek, max_bits: int):
         val = jnp.where(match, v, val)
         ln = jnp.where(match, L, ln)
     return val, ln
+
+
+def _select(conds, vals, default):
+    """jnp.select equivalent as a where-chain (jnp.select lowers via
+    argmax, which Mosaic only supports for f32; a chain of selects
+    lowers everywhere and is what the VPU executes anyway)."""
+    out = default
+    for c, v in zip(reversed(conds), reversed(vals)):
+        out = jnp.where(c, v, out)
+    return out
 
 
 def _cascade_table(values, idx):
@@ -234,16 +269,27 @@ def _dct_decode(win, peek17, is_first):
 
 
 def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int,
-                   peek: str = "gather"):
+                   peek: str = "gather", layout: str = "lanes"):
     """Returns step(carry) -> carry for one symbol per lane.
 
     Carry pytree:
       words_flat uint32[N*W]
       st: dict of int32[N] state vars
       out: dict of output buffers (flat, with a trash slot at the end)
+
+    layout="lanes" (default): state vars are [N], words [N, W],
+    slice_starts/rows [N, S].  layout="rows": state vars are (1, N),
+    words (W, N), slice_starts/rows (S, N) -- the shape the Pallas scan
+    kernel uses (lane dim minor, every tensor a Mosaic-friendly 2-D
+    tile; forces the gather-free reduce peek).
     """
     MB6 = mb_count * 6
     COEF_STRIDE = mb_count * 384
+    rows = layout == "rows"
+
+    def slice_col(arr, k):
+        # slice_starts/rows column k in either layout
+        return arr[k:k + 1] if rows else arr[:, k]
 
     def step(carry):
         words, st = carry
@@ -251,7 +297,10 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int,
 
         state = st["state"]
         bitpos = st["bitpos"]
-        win = _peek_window(words, bitpos, mode=peek)
+        if rows:
+            win = _peek_window_rows(words, bitpos)
+        else:
+            win = _peek_window(words, bitpos, mode=peek)
         peek17 = (win >> jnp.uint32(15)).astype(jnp.int32)
         peek23_zero = (win >> jnp.uint32(9)) == 0
 
@@ -274,12 +323,12 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int,
             win, peek17, st["n"] == 0)
 
         in_coef = state == ST_COEF
-        hdr_val = jnp.select(
+        hdr_val = _select(
             [state == ST_MBADDR, state == ST_MBTYPE, state == ST_CBP,
              (state == ST_MVH) | (state == ST_MVV), state == ST_DC],
             [a_val, t_val, c_val, m_val, d_val],
             default=jnp.zeros_like(state))
-        hdr_ln = jnp.select(
+        hdr_ln = _select(
             [state == ST_MBADDR, state == ST_MBTYPE, state == ST_CBP,
              (state == ST_MVH) | (state == ST_MVV), state == ST_DC],
             [a_ln, t_ln, c_ln, m_ln, d_ln],
@@ -297,12 +346,12 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int,
 
         # emission slots; TRASH marks "no emission this step"
         TRASH = mb_count + MB6 + COEF_STRIDE
-        coef_idx = jnp.full((N,), TRASH, jnp.int32)
-        coef_val = jnp.zeros((N,), jnp.int32)
-        rec_idx = jnp.full((N,), TRASH, jnp.int32)
-        rec_val = jnp.zeros((N,), jnp.int32)
-        nfin_idx = jnp.full((N,), TRASH, jnp.int32)
-        nfin_val = jnp.zeros((N,), jnp.int32)
+        coef_idx = jnp.full_like(state, TRASH)
+        coef_val = jnp.zeros_like(state)
+        rec_idx = jnp.full_like(state, TRASH)
+        rec_val = jnp.zeros_like(state)
+        nfin_idx = jnp.full_like(state, TRASH)
+        nfin_val = jnp.zeros_like(state)
 
         def sel(mask, a, b):
             return jnp.where(mask, a, b)
@@ -346,14 +395,17 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int,
         done_slice = m & peek23_zero
         more_slices = st["slice_idx"] + 1 < st["n_slices"]
         nsl = st["slice_idx"] + 1
-        safe_nsl = jnp.clip(nsl, 0, st["slice_starts"].shape[1] - 1)
-        nsl_start = st["slice_starts"][:, 0]
-        nsl_row = st["slice_rows"][:, 0]
-        for k in range(1, st["slice_starts"].shape[1]):
+        n_slice_cols = (st["slice_starts"].shape[0] if rows
+                        else st["slice_starts"].shape[1])
+        safe_nsl = jnp.clip(nsl, 0, n_slice_cols - 1)
+        nsl_start = slice_col(st["slice_starts"], 0)
+        nsl_row = slice_col(st["slice_rows"], 0)
+        for k in range(1, n_slice_cols):
             nsl_start = jnp.where(safe_nsl == k,
-                                  st["slice_starts"][:, k], nsl_start)
+                                  slice_col(st["slice_starts"], k),
+                                  nsl_start)
             nsl_row = jnp.where(safe_nsl == k,
-                                st["slice_rows"][:, k], nsl_row)
+                                slice_col(st["slice_rows"], k), nsl_row)
         new["slice_idx"] = sel(done_slice, nsl, new["slice_idx"])
         new["bitpos"] = st["bitpos"]  # consumed applied at the end
         new["state"] = sel(done_slice,
@@ -507,7 +559,7 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int,
         # dc_delta semantics (player.cpp:1053-1057)
         top = (delta & (jnp.int32(1) << jnp.maximum(dc_size - 1, 0))) != 0
         neg = ((jnp.int32(-1) << dc_size) | (delta + 1))
-        pred = jnp.select(
+        pred = _select(
             [st["blk"] < 4, st["blk"] == 4],
             [st["y_dc"], st["u_dc"]], default=st["v_dc"])
         dc = sel(dc_size == 0, pred, pred + sel(top, delta, neg))
@@ -534,7 +586,7 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int,
         # escape immediate level (8 or 16 bits after the 12-bit prefix)
         v8 = _bits_of(win, e_bits, 8)
         v16lo = _bits_of(win, e_bits + 8, 8)
-        esc_level = jnp.select(
+        esc_level = _select(
             [v8 == 0, v8 == 128, v8 > 128],
             [v16lo, v16lo - 256, v8 - 256], default=v8)
         esc_extra = sel((v8 == 0) | (v8 == 128), 16, 8)

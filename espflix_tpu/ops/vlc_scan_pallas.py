@@ -1,0 +1,310 @@
+"""Pallas TPU kernels: the FSM scan VMEM-resident.
+
+The XLA while-loop scanner (ops/vlc_scan.run_scan) pays a fixed
+~12.5us/iteration runtime overhead plus HBM round-trips for state and
+window fetches -- ~47us/step at N=1024 on this runtime, making the scan
+the dominant pipeline stage (docs/PERF.md).  These kernels run the SAME
+step function (make_scan_step(layout="rows") -- shared code, so
+bit-exactness is structural) inside Pallas where:
+
+  * bitstream words live in VMEM transposed (W, N): the window peek is
+    one-hot masked reductions over the sublane axis (TPU has no vector
+    gather);
+  * per-lane state is (1, N) int32 rows carried through a fori_loop;
+  * emissions stage in a VMEM scratch chunk, DMA'd to the HBM log every
+    `chunk` steps; all-DONE chunks skip the step math;
+  * `run_scan_pallas`: whole-payload scan, one block (small payloads --
+    words must fit VMEM);
+  * `run_scan_pallas_sliced`: the production form.  Each SLICE scans as
+    its own row over a words window REBASED to its slice start (slices
+    are independent decode units, player.cpp:1239-1259), so the VMEM
+    window stays small for arbitrarily large payloads AND the loop trip
+    count drops to the longest slice.  A grid walks row groups; the
+    bulk scatter merges each lane's slice rows (disjoint MB ranges).
+
+Output format and the post-scan bulk scatter are identical to run_scan;
+callers get bit-identical (coeffs, recs, nfinal, state).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from espflix_tpu.ops import vlc_scan as VS
+
+# state rows, fixed order (bool error carried as int32)
+STATE_KEYS = (
+    "state", "bitpos", "slice_idx", "n_slices", "pic_type", "full_pel",
+    "r_size", "mb_x", "mb_y", "qscale", "y_dc", "u_dc", "v_dc",
+    "mv_h", "mv_v", "mb_type", "cbp", "blk", "n", "pending_skip",
+    "inc_acc", "first_mb", "error",
+)
+K = len(STATE_KEYS)
+
+
+def _make_kernel(mb_width, mb_count, W, n_chunks, chunk, NB, trash):
+    consts = VS.scanner_constants()
+    step = VS.make_scan_step(consts, mb_width, mb_count, W,
+                             layout="rows")
+
+    def kernel(words_ref, state_ref, ss_ref, sr_ref,
+               out_state_ref, li_ref, lv_ref, iters_ref,
+               sc_i, sc_v, sem):
+        g = pl.program_id(0)
+        words = words_ref[...]
+        packed = state_ref[...]
+        st = {k: packed[i:i + 1] for i, k in enumerate(STATE_KEYS)}
+        st["slice_starts"] = ss_ref[...]
+        st["slice_rows"] = sr_ref[...]
+
+        # the loop carry keeps `error` as int32 (Mosaic cannot carry
+        # (1, N) i1 vectors through scf.for); it is a bool only inside
+        # the step body
+        def as_tuple(d):
+            return tuple(d[k] for k in STATE_KEYS)
+
+        def as_dict(t):
+            d = dict(zip(STATE_KEYS, t))
+            d["error"] = d["error"] != 0
+            d["slice_starts"] = ss_ref[...]
+            d["slice_rows"] = sr_ref[...]
+            return d
+
+        def one_step(j, carry):
+            stt, iters = carry
+            std = as_dict(stt)
+            active = jnp.any(std["state"] != VS.ST_DONE)
+            (_, new), (i1, v1) = step((words, std))
+            new["error"] = new["error"].astype(jnp.int32)
+            sc_i[pl.ds(j, 1), :] = i1
+            sc_v[pl.ds(j, 1), :] = v1
+            return (as_tuple(new),
+                    iters + jnp.where(active, 1, 0).astype(jnp.int32))
+
+        def chunk_body(ci, carry):
+            stt, iters = carry
+            all_done = jnp.all(stt[0] == VS.ST_DONE)
+
+            def run(args):
+                return jax.lax.fori_loop(0, chunk, one_step, args)
+
+            def skip(args):
+                sc_i[...] = jnp.full((chunk, NB), trash, jnp.int32)
+                sc_v[...] = jnp.zeros((chunk, NB), jnp.int32)
+                return args
+
+            stt, iters = jax.lax.cond(all_done, skip, run, (stt, iters))
+            cp_i = pltpu.make_async_copy(
+                sc_i, li_ref.at[g, pl.ds(ci * chunk, chunk), :], sem)
+            cp_i.start()
+            cp_i.wait()
+            cp_v = pltpu.make_async_copy(
+                sc_v, lv_ref.at[g, pl.ds(ci * chunk, chunk), :], sem)
+            cp_v.start()
+            cp_v.wait()
+            return (stt, iters)
+
+        stt, iters = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, (as_tuple(st), jnp.int32(0)))
+
+        final = dict(zip(STATE_KEYS, stt))
+        out_state_ref[...] = jnp.concatenate(
+            [final[k] for k in STATE_KEYS], axis=0)
+        iters_ref[0, 0] = iters
+
+    return kernel
+
+
+def _launch(words_t, packed, ss, sr, *, mb_width, mb_count, max_steps,
+            chunk, NB, interpret):
+    """words_t (Wp, N) uint32; packed (K, N); ss/sr (S, N).  Grid over
+    N // NB row groups.  Returns (out_state [K,N], log_idx [T,N],
+    log_val [T,N], iters [G])."""
+    Wp, N = words_t.shape
+    G = N // NB
+    n_chunks = -(-max_steps // chunk)
+    T = n_chunks * chunk
+    S = ss.shape[0]
+
+    MB6 = mb_count * 6
+    TRASH = mb_count + MB6 + mb_count * 384
+
+    kernel = _make_kernel(mb_width, mb_count, Wp, n_chunks, chunk, NB,
+                          TRASH)
+    grid = (G,)
+    out_state, log_idx, log_val, iters = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Wp, NB), lambda g: (0, g)),
+            pl.BlockSpec((K, NB), lambda g: (0, g)),
+            pl.BlockSpec((S, NB), lambda g: (0, g)),
+            pl.BlockSpec((S, NB), lambda g: (0, g)),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, NB), lambda g: (0, g)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1), lambda g: (0, g),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, N), jnp.int32),
+            jax.ShapeDtypeStruct((G, T, NB), jnp.int32),
+            jax.ShapeDtypeStruct((G, T, NB), jnp.int32),
+            jax.ShapeDtypeStruct((1, G), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((chunk, NB), jnp.int32),
+            pltpu.VMEM((chunk, NB), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(words_t, packed, ss, sr)
+    # [G, T, NB] -> [T, G*NB] = [T, N]
+    log_idx = jnp.moveaxis(log_idx, 0, 1).reshape(T, N)
+    log_val = jnp.moveaxis(log_val, 0, 1).reshape(T, N)
+    return out_state, log_idx, log_val, iters[0]
+
+
+def _scatter(log_idx, log_val, mb_count, out_groups=1):
+    T, N = log_idx.shape
+    MB6 = mb_count * 6
+    C_TOTAL = mb_count + MB6 + mb_count * 384
+    Gr = N // out_groups
+    idx = log_idx.T.reshape(Gr, out_groups * T)
+    val = log_val.T.reshape(Gr, out_groups * T)
+    buf = jnp.zeros((Gr, C_TOTAL + 1), jnp.int32)
+    buf = jnp.put_along_axis(buf, idx, val, axis=1, inplace=False)
+    recs = buf[:, :mb_count]
+    nfinal = buf[:, mb_count:mb_count + MB6]
+    coeffs = buf[:, mb_count + MB6:C_TOTAL].astype(jnp.int16)
+    return coeffs, recs, nfinal
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mb_width", "mb_count", "max_steps",
+                              "chunk", "interpret"))
+def run_scan_pallas(words, init_state, mb_width: int, mb_count: int,
+                    max_steps: int, chunk: int = 256,
+                    interpret: bool = False):
+    """Drop-in for vlc_scan.run_scan (sequential-slice form, one grid
+    block -- words must fit VMEM: N * W * 4 plus temps under ~8MB).
+
+    words uint32[N, W]; init_state from vlc_scan.initial_state.
+    N must be a multiple of 128 (pad with n_slices==0 lanes)."""
+    N, W = words.shape
+    assert N % 128 == 0, "pad lanes to a multiple of 128"
+    Wp = -(-W // 8) * 8
+    max_steps = min(max_steps, 20000)
+
+    st = dict(init_state)
+    st["error"] = st["error"].astype(jnp.int32)
+    packed = jnp.stack([st[k].astype(jnp.int32) for k in STATE_KEYS])
+    words_t = jnp.pad(words, ((0, 0), (0, Wp - W))).T
+    ss = st["slice_starts"].T.astype(jnp.int32)
+    sr = st["slice_rows"].T.astype(jnp.int32)
+
+    out_state, log_idx, log_val, iters = _launch(
+        words_t, packed, ss, sr, mb_width=mb_width, mb_count=mb_count,
+        max_steps=max_steps, chunk=chunk, NB=N, interpret=interpret)
+    coeffs, recs, nfinal = _scatter(log_idx, log_val, mb_count)
+    fin = {k: out_state[i] for i, k in enumerate(STATE_KEYS)}
+    fin["error"] = fin["error"] != 0
+    return coeffs, recs, nfinal, fin, jnp.max(iters)
+
+
+# ---------------------------------------------------------------------------
+# slice-parallel form (production)
+# ---------------------------------------------------------------------------
+
+def pack_slice_rows(batch: dict, words_window: int = 512):
+    """Host-side: expand a make_picture_batch dict into per-SLICE scan
+    rows with words rebased to each slice's word offset.
+
+    Returns dict(words [NS, Wp] uint32, start_bits/rows/alive [NS],
+    pic_type/full_pel/r_size [NS]) with NS = N * S, plus out_groups=S.
+    Rows whose slice span exceeds words_window are marked dead and the
+    lane flagged (callers may fall back to the XLA scan); spans are
+    payload-bounded so this only triggers on huge single-slice
+    pictures."""
+    words = np.asarray(batch["words"])
+    starts = np.asarray(batch["slice_starts"])
+    rows = np.asarray(batch["slice_rows"])
+    n_slices = np.asarray(batch["n_slices"])
+    N, W = words.shape
+    S = starts.shape[1]
+    NS = N * S
+    Wp = words_window
+
+    out = np.zeros((NS, Wp), np.uint32)
+    start_bits = np.zeros(NS, np.int32)
+    out_rows = np.zeros(NS, np.int32)
+    alive = np.zeros(NS, np.int32)
+    overflow = np.zeros(N, bool)
+    for i in range(N):
+        k = int(n_slices[i])
+        for s in range(k):
+            r = i * S + s
+            b0 = int(starts[i, s])
+            base = b0 >> 5
+            end_bit = int(starts[i, s + 1]) if s + 1 < k else W * 32
+            span = min(-(-(end_bit - base * 32) // 32) + 2, W - base)
+            if span > Wp:
+                overflow[i] = True
+                continue
+            out[r, :span] = words[i, base:base + span]
+            start_bits[r] = b0 - (base << 5)
+            out_rows[r] = rows[i, s]
+            alive[r] = 1
+    return dict(words=out, start_bits=start_bits, rows=out_rows,
+                alive=alive,
+                pic_type=np.repeat(np.asarray(batch["pic_type"]), S),
+                full_pel=np.repeat(np.asarray(batch["full_pel"]), S),
+                r_size=np.repeat(np.asarray(batch["r_size"]), S),
+                out_groups=S, overflow=overflow)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mb_width", "mb_count", "max_steps",
+                              "out_groups", "chunk", "block_rows",
+                              "interpret"))
+def run_scan_pallas_sliced(words, start_bits, rows, alive, pic_type,
+                           full_pel, r_size, *, mb_width: int,
+                           mb_count: int, max_steps: int,
+                           out_groups: int, chunk: int = 256,
+                           block_rows: int = 1024,
+                           interpret: bool = False):
+    """Slice-parallel Pallas scan: one scan row per slice.
+
+    Inputs from pack_slice_rows (words [NS, Wp] rebased per slice).
+    Returns (coeffs, recs, nfinal, err [N], iters) with dense outputs
+    grouped back to N = NS // out_groups lanes."""
+    NS, Wp = words.shape
+    NB = min(block_rows, NS)
+    assert NS % NB == 0 and Wp % 8 == 0
+
+    st = VS.initial_state(
+        NS, start_bits[:, None], rows[:, None], alive,
+        pic_type, full_pel, r_size)
+    st["error"] = st["error"].astype(jnp.int32)
+    # single-slice rows: bitpos starts at the rebased offset
+    packed = jnp.stack([st[k].astype(jnp.int32) for k in STATE_KEYS])
+    ss = start_bits[None, :].astype(jnp.int32)
+    sr = rows[None, :].astype(jnp.int32)
+
+    out_state, log_idx, log_val, iters = _launch(
+        words.T, packed, ss, sr, mb_width=mb_width, mb_count=mb_count,
+        max_steps=max_steps, chunk=chunk, NB=NB, interpret=interpret)
+    coeffs, recs, nfinal = _scatter(log_idx, log_val, mb_count,
+                                    out_groups=out_groups)
+    err_sub = (out_state[STATE_KEYS.index("error")] != 0) | \
+        (out_state[STATE_KEYS.index("state")] != VS.ST_DONE)
+    err = err_sub.reshape(NS // out_groups, out_groups).any(axis=1)
+    return coeffs, recs, nfinal, err, jnp.max(iters)
