@@ -163,6 +163,7 @@ def make_picture_batch(pictures: list, words_per_lane: int | None = None,
 
     N = len(pictures)
     words = np.zeros((N, words_per_lane), np.uint32)
+    n_words = np.zeros(N, np.int32)
     slice_starts = np.zeros((N, S), np.int32)
     slice_rows = np.zeros((N, S), np.int32)
     n_slices = np.zeros(N, np.int32)
@@ -179,6 +180,7 @@ def make_picture_batch(pictures: list, words_per_lane: int | None = None,
         w = bytes_to_words_be(p.payload)
         assert len(w) <= words_per_lane, (len(w), words_per_lane)
         words[i, :len(w)] = w
+        n_words[i] = len(w)
         k = len(p.slice_offsets)
         assert k <= S
         slice_starts[i, :k] = p.slice_offsets
@@ -195,7 +197,7 @@ def make_picture_batch(pictures: list, words_per_lane: int | None = None,
         words=words, slice_starts=slice_starts, slice_rows=slice_rows,
         n_slices=n_slices, pic_type=pic_type, full_pel=full_pel,
         r_size=r_size, intra_q=intra_q, non_intra_q=non_intra_q,
-        active=active,
+        active=active, n_words=n_words,
         mb_width=seq.mb_width, mb_height=mbh,
     )
 

@@ -116,7 +116,7 @@ def _make_kernel(mb_width, mb_count, W, n_chunks, chunk, NB, trash):
         final = dict(zip(STATE_KEYS, stt))
         out_state_ref[...] = jnp.concatenate(
             [final[k] for k in STATE_KEYS], axis=0)
-        iters_ref[0, 0] = iters
+        iters_ref[0, g] = iters
 
     return kernel
 
@@ -151,8 +151,7 @@ def _launch(words_t, packed, ss, sr, *, mb_width, mb_count, max_steps,
             pl.BlockSpec((K, NB), lambda g: (0, g)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 1), lambda g: (0, g),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((K, N), jnp.int32),
@@ -224,7 +223,7 @@ def run_scan_pallas(words, init_state, mb_width: int, mb_count: int,
 # slice-parallel form (production)
 # ---------------------------------------------------------------------------
 
-def pack_slice_rows(batch: dict, words_window: int = 512):
+def pack_slice_rows(batch: dict, words_window: int | None = None):
     """Host-side: expand a make_picture_batch dict into per-SLICE scan
     rows with words rebased to each slice's word offset.
 
@@ -238,9 +237,23 @@ def pack_slice_rows(batch: dict, words_window: int = 512):
     starts = np.asarray(batch["slice_starts"])
     rows = np.asarray(batch["slice_rows"])
     n_slices = np.asarray(batch["n_slices"])
+    n_words = np.asarray(batch.get(
+        "n_words", np.full(len(words), words.shape[1], np.int32)))
     N, W = words.shape
     S = starts.shape[1]
     NS = N * S
+    if words_window is None:
+        # auto-size to the longest slice span, bucketed to multiples of
+        # 128 words so the jit cache sees few distinct shapes
+        longest = 1
+        for i in range(N):
+            k = int(n_slices[i])
+            for s in range(k):
+                b = int(starts[i, s]) >> 5
+                e = (int(starts[i, s + 1]) if s + 1 < k
+                     else int(n_words[i]) * 32)
+                longest = max(longest, -(-(e - b * 32) // 32) + 2)
+        words_window = min(-(-longest // 128) * 128, W)
     Wp = words_window
 
     out = np.zeros((NS, Wp), np.uint32)
@@ -254,7 +267,8 @@ def pack_slice_rows(batch: dict, words_window: int = 512):
             r = i * S + s
             b0 = int(starts[i, s])
             base = b0 >> 5
-            end_bit = int(starts[i, s + 1]) if s + 1 < k else W * 32
+            end_bit = (int(starts[i, s + 1]) if s + 1 < k
+                       else int(n_words[i]) * 32)
             span = min(-(-(end_bit - base * 32) // 32) + 2, W - base)
             if span > Wp:
                 overflow[i] = True
