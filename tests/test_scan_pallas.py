@@ -1,0 +1,107 @@
+"""Pallas scan kernels vs the XLA scanner: structural bit-exactness.
+
+Interpreter mode on CPU (the kernels also run verified bit-exact on a
+real v5e -- docs/PERF.md); both forms share make_scan_step with the
+XLA scanner, so these tests guard the kernel-specific plumbing: the
+row layout, the windowed slice packing, grid grouping, the chunked
+emission DMA and the grouped scatter.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from espflix_tpu.models import mpeg1 as M
+from espflix_tpu.ops import vlc_scan
+from espflix_tpu.ops import vlc_scan_pallas as VP
+from espflix_tpu.tools import mpeg1_encode as E
+from espflix_tpu.tools.content import realistic_gop_script
+
+
+def batch_for(pic, n=128, wpl=None, mbh=None):
+    seq = pic.seq
+    wpl = wpl or (len(pic.payload) + 3) // 4 + 4
+    return M.make_picture_batch([pic] * n, words_per_lane=wpl,
+                                max_slices=mbh or seq.mb_height)
+
+
+def xla_scan(b, mbw, mbh, max_steps):
+    args = tuple(jnp.asarray(b[k]) for k in (
+        "words", "slice_starts", "slice_rows", "n_slices", "pic_type",
+        "full_pel", "r_size"))
+    st0 = vlc_scan.initial_state(args[0].shape[0], *args[1:])
+    return vlc_scan.run_scan(args[0], st0, mbw, mbw * mbh, max_steps)
+
+
+def sliced_scan(b, mbw, mbh, max_steps, block_rows=512):
+    sl = VP.pack_slice_rows(b)
+    assert not sl["overflow"].any()
+    return VP.run_scan_pallas_sliced(
+        *[jnp.asarray(sl[k]) for k in (
+            "words", "start_bits", "rows", "alive", "pic_type",
+            "full_pel", "r_size")],
+        mb_width=mbw, mb_count=mbw * mbh, max_steps=max_steps,
+        out_groups=sl["out_groups"], block_rows=block_rows,
+        interpret=True)
+
+
+def assert_matches(b, mbw, mbh, max_steps=768, block_rows=512):
+    w = xla_scan(b, mbw, mbh, max_steps * mbh)
+    o = sliced_scan(b, mbw, mbh, max_steps, block_rows)
+    for name, x, y in zip(("coeffs", "recs", "nfinal"), o[:3], w[:3]):
+        assert np.array_equal(np.asarray(x), np.asarray(y)), name
+    err_x = np.asarray(w[3]["error"]) | (
+        np.asarray(w[3]["state"]) != vlc_scan.ST_DONE)
+    assert np.array_equal(np.asarray(o[3]), err_x)
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_sliced_matches_xla_small(seed):
+    rng = np.random.default_rng(seed)
+    sc = E.random_script(rng, n_pictures=2, max_coeffs=10,
+                         width=96, height=64)
+    seq, pics = M.parse_es(E.encode_es(sc))
+    for pic in pics:
+        assert_matches(batch_for(pic, n=128), seq.mb_width,
+                       seq.mb_height)
+
+
+def test_sliced_matches_xla_realistic_i_and_p():
+    rng = np.random.default_rng(1000)
+    seq, pics = (lambda es: M.parse_es(es))(
+        E.encode_es(realistic_gop_script(rng, n_pictures=3)))
+    for pic in pics[:2]:      # I then P, full 352x192
+        assert_matches(batch_for(pic, n=128), seq.mb_width,
+                       seq.mb_height, max_steps=1024, block_rows=256)
+
+
+def test_whole_payload_kernel_matches():
+    rng = np.random.default_rng(9)
+    sc = E.random_script(rng, n_pictures=1, max_coeffs=10,
+                         width=96, height=64)
+    seq, pics = M.parse_es(E.encode_es(sc))
+    b = batch_for(pics[0], n=128)
+    mbw, mbh = seq.mb_width, seq.mb_height
+    wpl = b["words"].shape[1]
+    w = xla_scan(b, mbw, mbh, wpl * 32)
+    args = tuple(jnp.asarray(b[k]) for k in (
+        "words", "slice_starts", "slice_rows", "n_slices", "pic_type",
+        "full_pel", "r_size"))
+    st0 = vlc_scan.initial_state(128, *args[1:])
+    o = VP.run_scan_pallas(args[0], st0, mbw, mbw * mbh, wpl * 32,
+                           interpret=True)
+    for name, x, y in zip(("coeffs", "recs", "nfinal"), o[:3], w[:3]):
+        assert np.array_equal(np.asarray(x), np.asarray(y)), name
+
+
+def test_pack_slice_rows_overflow_flags_lane():
+    """A single-slice picture spanning the whole payload overflows a
+    small window: the lane is flagged, not silently truncated."""
+    rng = np.random.default_rng(3)
+    sc = E.random_script(rng, n_pictures=1, max_coeffs=20,
+                         width=96, height=64)
+    seq, pics = M.parse_es(E.encode_es(sc))
+    b = batch_for(pics[0], n=4)
+    sl = VP.pack_slice_rows(b, words_window=8)
+    assert sl["overflow"].all()
+    assert sl["alive"].sum() == 0
