@@ -269,7 +269,8 @@ def _dct_decode(win, peek17, is_first):
 
 
 def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int,
-                   peek: str = "gather", layout: str = "lanes"):
+                   peek: str = "gather", layout: str = "lanes",
+                   peek_fn=None):
     """Returns step(carry) -> carry for one symbol per lane.
 
     Carry pytree:
@@ -297,7 +298,9 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int,
 
         state = st["state"]
         bitpos = st["bitpos"]
-        if rows:
+        if peek_fn is not None:
+            win = peek_fn(words, bitpos)
+        elif rows:
             win = _peek_window_rows(words, bitpos)
         else:
             win = _peek_window(words, bitpos, mode=peek)

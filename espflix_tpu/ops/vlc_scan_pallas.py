@@ -48,16 +48,49 @@ STATE_KEYS = (
 K = len(STATE_KEYS)
 
 
+PEEK_STRIP = 32     # words per strip in the windowed peek reduce
+
+
 def _make_kernel(mb_width, mb_count, W, n_chunks, chunk, NB, trash):
     consts = VS.scanner_constants()
+
+    def peek_fn(words_ref, bitpos):
+        """Strip-mined one-hot reduce straight off the VMEM ref.
+
+        Loading the whole (W, N) window as a value would pin W*N/1024
+        vregs and thrash the spiller; reading PEEK_STRIP-row strips
+        keeps the live set bounded (statically unrolled -- W/STRIP
+        strips of a handful of vector ops each)."""
+        w_idx = bitpos >> 5
+        off = (bitpos & 31).astype(jnp.uint32)
+        z = jnp.zeros_like(bitpos)
+        w0 = z
+        w1 = z
+        for k in range(0, W, PEEK_STRIP):
+            rows = min(PEEK_STRIP, W - k)
+            strip = jax.lax.bitcast_convert_type(
+                words_ref[pl.ds(k, rows), :], jnp.int32)
+            iota = k + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, 1), 0)
+            w0 = w0 + jnp.where(iota == w_idx, strip, 0).sum(
+                axis=0, keepdims=True, dtype=jnp.int32)
+            w1 = w1 + jnp.where(iota == w_idx + 1, strip, 0).sum(
+                axis=0, keepdims=True, dtype=jnp.int32)
+        w0 = jax.lax.bitcast_convert_type(w0, jnp.uint32)
+        w1 = jax.lax.bitcast_convert_type(w1, jnp.uint32)
+        hi = (w0 << off)
+        lo = jnp.where(off == 0, jnp.uint32(0),
+                       w1 >> (jnp.uint32(32) - off))
+        return hi | lo
+
     step = VS.make_scan_step(consts, mb_width, mb_count, W,
-                             layout="rows")
+                             layout="rows", peek_fn=peek_fn)
 
     def kernel(words_ref, state_ref, ss_ref, sr_ref,
                out_state_ref, li_ref, lv_ref, iters_ref,
                sc_i, sc_v, sem):
         g = pl.program_id(0)
-        words = words_ref[...]
+        words = words_ref
         packed = state_ref[...]
         st = {k: packed[i:i + 1] for i, k in enumerate(STATE_KEYS)}
         st["slice_starts"] = ss_ref[...]
