@@ -43,8 +43,12 @@ def main():
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--distinct", type=int, default=8,
                     help="distinct content streams tiled across lanes")
-    ap.add_argument("--pipeline", choices=["hybrid", "device"],
-                    default="device")
+    ap.add_argument("--pipeline",
+                    choices=["hybrid", "device", "pallas"],
+                    default="device",
+                    help="device: XLA while-loop scan; pallas: the "
+                         "slice-parallel VMEM-resident scan kernel; "
+                         "hybrid: native host entropy decode")
     ap.add_argument("--idct", choices=["auto", "pallas", "jnp"],
                     default="auto",
                     help="dequant+IDCT kernel (auto: Pallas on TPU)")
@@ -117,6 +121,48 @@ def main():
         for _ in range(args.reps):
             for bt in batches:
                 frames, p, info = dec(*bt, frames)
+                n += 1
+        _ = np.asarray(p["y"])
+        dt = time.time() - t0
+    elif args.pipeline == "pallas":
+        import functools
+
+        from espflix_tpu.models.mpeg1 import _decode_sliced_impl
+        from espflix_tpu.ops import vlc_scan_pallas as VP
+
+        idct = {"auto": None, "pallas": True, "jnp": False}[args.idct]
+        batches = []
+        for sel in per_pic:
+            b = M.make_picture_batch(sel, words_per_lane=wpl,
+                                     max_slices=mbh)
+            sl = VP.pack_slice_rows(b)
+            assert not sl["overflow"].any()
+            batches.append((
+                tuple(jnp.asarray(sl[k]) for k in (
+                    "words", "start_bits", "rows", "alive", "pic_type",
+                    "full_pel", "r_size")),
+                tuple(jnp.asarray(b[k]) for k in (
+                    "intra_q", "non_intra_q", "active")),
+                sl["out_groups"]))
+
+        interp = platform != "tpu"   # Mosaic only lowers on TPU
+
+        def dec(bt, frames):
+            sa, da, og = bt
+            return _decode_sliced_impl(
+                *sa, *da, frames, mb_width=mbw, mb_height=mbh,
+                max_steps=2048, out_groups=og, use_pallas_idct=idct,
+                interpret=interp)
+
+        t0 = time.time()
+        frames, p, info = dec(batches[0], frames)
+        _ = np.asarray(p["y"])
+        log(f"compile+first: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        n = 0
+        for _ in range(args.reps):
+            for bt in batches:
+                frames, p, info = dec(bt, frames)
                 n += 1
         _ = np.asarray(p["y"])
         dt = time.time() - t0

@@ -403,6 +403,63 @@ decode_picture_batch = functools.partial(
                               "peek"))(decode_picture_impl)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mb_width", "mb_height", "max_steps",
+                              "out_groups", "block_rows",
+                              "use_pallas_idct", "interpret"))
+def _decode_sliced_impl(words, start_bits, rows, alive, pic_type,
+                        full_pel, r_size, intra_q, non_intra_q, active,
+                        frames, *, mb_width: int, mb_height: int,
+                        max_steps: int, out_groups: int,
+                        block_rows: int = 1024, use_pallas_idct=None,
+                        interpret: bool = False):
+    from espflix_tpu.ops import vlc_scan_pallas as VP
+    coeffs, recs, nfinal, err, iters = VP.run_scan_pallas_sliced(
+        words, start_bits, rows, alive, pic_type, full_pel, r_size,
+        mb_width=mb_width, mb_count=mb_width * mb_height,
+        max_steps=max_steps, out_groups=out_groups,
+        block_rows=block_rows, interpret=interpret)
+    new_frames, presented = dense_compose(
+        coeffs, recs, nfinal, intra_q, non_intra_q, active, frames,
+        mb_width=mb_width, mb_height=mb_height,
+        use_pallas_idct=use_pallas_idct)
+    N = recs.shape[0]
+    ok = active & ~err
+    info = dict(error=err, ok=ok, iters=jnp.broadcast_to(iters, (N,)))
+    return new_frames, presented, info
+
+
+def decode_picture_batch_sliced(batch: dict, frames, *, mb_width: int,
+                                mb_height: int, max_steps: int = 2048,
+                                block_rows: int = 1024,
+                                use_pallas_idct=None,
+                                interpret: bool = False):
+    """Decode via the slice-parallel Pallas scan kernel.
+
+    Takes a make_picture_batch dict (host side packs per-slice word
+    windows -- vlc_scan_pallas.pack_slice_rows); same outputs as
+    decode_picture_batch, bit-exact.  Lanes whose slice span overflows
+    the window are reported as errors (callers resync them like any
+    corrupt lane)."""
+    from espflix_tpu.ops import vlc_scan_pallas as VP
+    sl = VP.pack_slice_rows(batch)
+    new_frames, presented, info = _decode_sliced_impl(
+        jnp.asarray(sl["words"]), jnp.asarray(sl["start_bits"]),
+        jnp.asarray(sl["rows"]), jnp.asarray(sl["alive"]),
+        jnp.asarray(sl["pic_type"]), jnp.asarray(sl["full_pel"]),
+        jnp.asarray(sl["r_size"]), jnp.asarray(batch["intra_q"]),
+        jnp.asarray(batch["non_intra_q"]), jnp.asarray(batch["active"]),
+        frames, mb_width=mb_width, mb_height=mb_height,
+        max_steps=max_steps, out_groups=sl["out_groups"],
+        block_rows=block_rows, use_pallas_idct=use_pallas_idct,
+        interpret=interpret)
+    if sl["overflow"].any():
+        ov = jnp.asarray(sl["overflow"])
+        info = dict(error=info["error"] | ov, ok=info["ok"] & ~ov,
+                    iters=info["iters"])
+    return new_frames, presented, info
+
+
 # ---------------------------------------------------------------------------
 # Native tokenizer fast path (hybrid pipeline): C++ entropy decode ->
 # device dense phase.  Same buffers, same dense_compose, bit-exact.
