@@ -5,16 +5,24 @@ hot loop (/root/reference/src/player.cpp:1251-1316,999-1148).  Each batch
 lane is one stream's picture payload.  A lane-parallel FSM consumes ONE
 syntax element per lane per step:
 
-  * a single 32-bit window gather per lane covers every element
-    (max code 17 bits + max immediate field 16 bits <= 32);
-  * a single mega-LUT gather resolves any VLC in any state (all the
-    Annex-B tables concatenated with per-state base offsets);
+  * a single 32-bit window per lane covers every element (max code 17
+    bits + max immediate field 16 bits <= 32), fetched by a pair
+    gather or a one-hot masked reduction (peek=);
+  * every VLC table decodes as a where-cascade (gather-free: prefix-
+    free codes mean at most one compare matches; elementwise selects
+    are ~free on the VPU whereas table gathers serialize per element
+    on some runtimes);
   * masked per-state transition math runs on the VPU;
   * at most one (index, value) emission per lane per step is appended
     to a [T, N] log by a contiguous row write; the dense coefficient/
     record buffers are built with ONE bulk scatter after the loop
     (per-step scatters and a carried dense buffer both degrade badly
     on TPU at large N).
+
+The same step function also runs inside the Pallas kernels
+(ops/vlc_scan_pallas.py, layout="rows") with words and state
+VMEM-resident, and slice-parallel (one scan row per slice,
+out_groups= merging the bulk scatter).
 
 The scan produces RAW levels plus per-MB metadata; dequantization, IDCT
 and motion compensation run afterwards as dense batched kernels
