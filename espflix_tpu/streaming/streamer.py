@@ -17,20 +17,39 @@ from __future__ import annotations
 
 import os
 import socket
+import time
 from urllib.parse import urlparse
 
 
 class Streamer:
-    def __init__(self):
+    def __init__(self, retries: int = 3, backoff: float = 0.1):
         self._sock: socket.socket | None = None
         self._file = None
         self._rom: bytes | None = None
         self._content_length = -1
         self._mark = 0
         self._offset = 0
+        self._retries = retries
+        self._backoff = backoff
 
     # -- open -----------------------------------------------------------
     def get(self, url: str, offset: int = 0, length: int = 0) -> int:
+        """Open with retry + exponential backoff on transient failures
+        (SURVEY.md 5.3: the reference returns -1 up the stack and the
+        app re-enters its connect loop; a TPU host fronting thousands
+        of lanes retries here instead so one blip doesn't error a
+        lane)."""
+        delay = self._backoff
+        for attempt in range(self._retries + 1):
+            rc = self._get_once(url, offset, length)
+            if rc == 0 or attempt == self._retries:
+                return rc
+            time.sleep(delay)
+            delay *= 2
+        return rc
+
+    def _get_once(self, url: str, offset: int = 0,
+                  length: int = 0) -> int:
         self._content_length = -1
         self._mark = 0
         self._offset = offset
