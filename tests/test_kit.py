@@ -104,3 +104,31 @@ def test_task_profiler_sees_threads():
     stop.set()
     d = p.dump()
     assert "spinner" in d
+
+
+def test_tracecat_formats_and_roundtrips(tmp_path):
+    import json
+    from espflix_tpu.runtime.events import EventLog, Ev, Timers
+    from espflix_tpu.tools import tracecat
+
+    log = EventLog()
+    log.log(Ev.DECODE_BATCH, lane=3, value=42)
+    log.log(Ev.LANE_ERROR, lane=7)
+    timers = Timers()
+    with timers.measure("scan"):
+        pass
+    with timers.measure("dense"):
+        pass
+
+    txt = tracecat.format_events(log)
+    assert "DECODE_BATCH" in txt and "LANE_ERROR" in txt
+    assert "scan" in tracecat.format_timers(timers)
+    assert "DECODE_BATCH" in tracecat.format_counts(log)
+
+    p = tmp_path / "trace.json"
+    tracecat.dump_json(str(p), log, timers)
+    doc = json.loads(p.read_text())
+    assert len(doc["events"]) == 2 and "scan" in doc["timers"]
+    ch = tracecat.to_chrome(doc["events"])
+    assert ch[0]["tid"] == 4 and ch[0]["ph"] == "i"
+    assert tracecat.main([str(p)]) == 0
