@@ -1,0 +1,107 @@
+"""Fault injection: per-lane error containment + fleet auto-resync.
+
+SURVEY.md 5.3: a corrupt bitstream must poison ONLY its own batch lane
+(masked lane state), and the fleet recovers the lane by re-seeking to
+the next random-access point.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from espflix_tpu.core.bitio import BitWriter
+from espflix_tpu.core.refdec import Mpeg1Decoder
+from espflix_tpu.models import mpeg1 as M
+from espflix_tpu.runtime.events import Ev
+from espflix_tpu.tools import mpeg1_encode as E
+
+
+def corrupt_es(width=96, height=64):
+    """An I-picture whose first MB hits an invalid MB-type code
+    ('00...' matches neither '1' nor '01'): guaranteed decoder error."""
+    w = BitWriter()
+    w.start_code(0xB3)
+    w.put(width, 12); w.put(height, 12); w.put(1, 4); w.put(5, 4)
+    w.put(2928, 18); w.put(1, 1); w.put(20, 10)
+    w.put(0, 1); w.put(0, 1); w.put(0, 1)
+    w.start_code(0x00)
+    w.put(0, 10); w.put(1, 3); w.put(0xFFFF, 16); w.put(0, 1)
+    w.start_code(0x01)
+    w.put(8, 5); w.put(0, 1)
+    w.put_str("1")            # addr_inc = 1
+    w.put(0, 23)              # invalid MB type, not a start code yet
+    w.put(0xFFFF, 16)
+    w.align()
+    w.start_code(0xB7)
+    return w.tobytes()
+
+
+def test_corrupt_lane_does_not_poison_neighbors():
+    rng = np.random.default_rng(11)
+    good_es = E.encode_es(E.random_script(rng, n_pictures=1,
+                                          max_coeffs=8,
+                                          width=96, height=64))
+    ref = Mpeg1Decoder().decode_es(good_es)[0]
+
+    seq_g, pics_g = M.parse_es(good_es)
+    seq_b, pics_b = M.parse_es(corrupt_es())
+    mbw, mbh = seq_g.mb_width, seq_g.mb_height
+    wpl = max((len(p.payload) + 3) // 4 + 4
+              for p in (pics_g[0], pics_b[0]))
+
+    frames = M.init_frame_state(3, mbw * 16, mbh * 16)
+    b = M.make_picture_batch([pics_g[0], pics_b[0], pics_g[0]],
+                             words_per_lane=wpl, max_slices=mbh)
+    frames, pres, info = M.decode_picture_batch(
+        *[jnp.asarray(b[k]) for k in (
+            "words", "slice_starts", "slice_rows", "n_slices",
+            "pic_type", "full_pel", "r_size", "intra_q",
+            "non_intra_q", "active")],
+        frames, mb_width=mbw, mb_height=mbh, max_steps=wpl * 32)
+
+    err = np.asarray(info["error"])
+    assert err.tolist() == [False, True, False]
+    # neighbors bit-exact despite the poisoned middle lane
+    for lane in (0, 2):
+        assert np.array_equal(np.asarray(pres["y"][lane]), ref.y)
+        assert np.array_equal(np.asarray(pres["u"][lane]), ref.u)
+        assert np.array_equal(np.asarray(pres["v"][lane]), ref.v)
+
+
+def test_fleet_logs_error_and_resyncs(tmp_path):
+    from espflix_tpu.runtime.player import PlayerSession
+    from espflix_tpu.runtime.scheduler import Fleet
+    from espflix_tpu.tools.indexer import make_service
+
+    service = str(tmp_path / "svc")
+    make_service(service, ["one"], seed=3, n_gops=3, gop=4)
+    s = PlayerSession("file://" + service)
+    assert s.init_service()
+    s.nav(0)
+    s.play_pause()
+
+    # after two pictures, inject one corrupted picture payload
+    bad = M.parse_es(corrupt_es(width=352, height=192))[1][0]
+    orig = s.next_picture
+    count = {"n": 0}
+
+    def tampered():
+        p = orig()
+        count["n"] += 1
+        if p is not None and count["n"] == 3:
+            bad.pts = p.pts
+            return bad
+        return p
+
+    s.next_picture = tampered
+
+    fleet = Fleet(1, words_per_lane=8192)
+    fleet.attach(0, s)
+    for _ in range(30):
+        fleet.tick(decode_audio=False)
+
+    names = [e.ev for e in fleet.events.dump(10 ** 6)]
+    assert Ev.LANE_ERROR in names, "corrupt picture not flagged"
+    assert Ev.LANE_RESYNC in names, "lane did not resync"
+    # the lane kept decoding after recovery
+    err_at = names.index(Ev.LANE_ERROR)
+    assert Ev.DECODE_BATCH in names[err_at:]
