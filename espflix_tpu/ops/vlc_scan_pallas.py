@@ -275,43 +275,46 @@ def pack_slice_rows(batch: dict, words_window: int | None = None):
     N, W = words.shape
     S = starts.shape[1]
     NS = N * S
+
+    # fully vectorized (this sits on the pallas pipeline's host path):
+    # per (lane, slice): base word, end bit, span
+    sidx = np.arange(S)[None, :]
+    live = sidx < n_slices[:, None]                       # [N, S]
+    base = (starts >> 5) * live                           # [N, S]
+    nxt = np.concatenate([starts[:, 1:],
+                          np.zeros((N, 1), np.int32)], axis=1)
+    last = sidx == (n_slices[:, None] - 1)
+    end_bit = np.where(last, n_words[:, None] * 32, nxt)
+    span = np.where(live, -(-(end_bit - base * 32) // 32) + 2, 0)
+    span = np.minimum(span, W - base)
+
     if words_window is None:
         # auto-size to the longest slice span, bucketed to multiples of
         # 128 words so the jit cache sees few distinct shapes
-        longest = 1
-        for i in range(N):
-            k = int(n_slices[i])
-            for s in range(k):
-                b = int(starts[i, s]) >> 5
-                e = (int(starts[i, s + 1]) if s + 1 < k
-                     else int(n_words[i]) * 32)
-                longest = max(longest, -(-(e - b * 32) // 32) + 2)
-        words_window = min(-(-longest // 128) * 128, W)
+        words_window = min(-(-max(int(span.max()), 1) // 128) * 128, W)
     Wp = words_window
 
-    out = np.zeros((NS, Wp), np.uint32)
-    start_bits = np.zeros(NS, np.int32)
-    out_rows = np.zeros(NS, np.int32)
-    alive = np.zeros(NS, np.int32)
-    overflow = np.zeros(N, bool)
-    for i in range(N):
-        k = int(n_slices[i])
-        for s in range(k):
-            r = i * S + s
-            b0 = int(starts[i, s])
-            base = b0 >> 5
-            end_bit = (int(starts[i, s + 1]) if s + 1 < k
-                       else int(n_words[i]) * 32)
-            span = min(-(-(end_bit - base * 32) // 32) + 2, W - base)
-            if span > Wp:
-                overflow[i] = True
-                continue
-            out[r, :span] = words[i, base:base + span]
-            start_bits[r] = b0 - (base << 5)
-            out_rows[r] = rows[i, s]
-            alive[r] = 1
-    return dict(words=out, start_bits=start_bits, rows=out_rows,
-                alive=alive,
+    overflow = (span > Wp).any(axis=1)
+    ok = live & ~overflow[:, None]                        # [N, S]
+
+    # one contiguous row copy per (lane, slice) via a sliding view.
+    # Windows near the payload end clamp left (coverage is preserved:
+    # span <= Wp was already checked); the extra tail bytes a clamped
+    # or unmasked window exposes are exactly the real next-slice bytes
+    # the sequential scanner would see -- the FSM stops at the next
+    # start code's 23 zero bits either way.
+    from numpy.lib.stride_tricks import sliding_window_view
+    base_c = np.clip(base, 0, W - Wp)
+    view = sliding_window_view(words, Wp, axis=1)        # [N, W-Wp+1, Wp]
+    lane = np.broadcast_to(np.arange(N)[:, None], (N, S))
+    out = view[lane.ravel(), base_c.astype(np.intp).reshape(NS)]
+
+    start_bits = np.where(ok, starts - (base_c << 5), 0) \
+        .astype(np.int32).reshape(NS)
+    return dict(words=out,
+                start_bits=start_bits,
+                rows=np.where(ok, rows, 0).astype(np.int32).reshape(NS),
+                alive=ok.astype(np.int32).reshape(NS),
                 pic_type=np.repeat(np.asarray(batch["pic_type"]), S),
                 full_pel=np.repeat(np.asarray(batch["full_pel"]), S),
                 r_size=np.repeat(np.asarray(batch["r_size"]), S),
