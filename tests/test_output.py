@@ -1,0 +1,92 @@
+"""OutputStage: OSD state machine, field synthesis, beep + PDM."""
+
+import numpy as np
+
+from espflix_tpu.ops import composite as C
+from espflix_tpu.ops import delta_sigma as DS
+from espflix_tpu.runtime.output import OutputStage, _SIN32
+from espflix_tpu.video.render import PLAY, FFWD
+
+
+def frames_for(n, h=192, w=352, seed=0):
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 249, (n, h, w)).astype(np.uint8)
+    u = rng.integers(0, 249, (n, h // 2, w // 2)).astype(np.uint8)
+    v = rng.integers(0, 249, (n, h // 2, w // 2)).astype(np.uint8)
+    return y, u, v
+
+
+def test_osd_overlay_visible_then_fades():
+    out = OutputStage(2)
+    y, u, v = frames_for(2)
+    out.update_progress(0, 90000 * 65, 90000 * 100)       # 1:05 / 1:40
+    out.show_progress(0, t=2)
+    f1 = out.synthesize(y, u, v)
+    assert out.frame_counter.tolist() == [1, 1]
+    # lane 0 differs from lane-1-style plain synthesis; after the fade
+    # runs out the overlay disappears
+    out.hide_progress(0)
+    out.frame_counter[:] = 0                              # same parity
+    f3 = out.synthesize(y, u, v)
+    assert not np.array_equal(f1[0], f3[0])               # overlay gone
+    assert np.array_equal(f1[1], f3[1])                   # lane 1 clean
+
+
+def test_progress_units_and_time_rerender():
+    out = OutputStage(1)
+    out.update_progress(0, 90000 * 50, 90000 * 100)
+    assert out.progress[0] == 50 * C.OSD_PROGRESS_W // 100
+    osd_a = out.osd[0].copy()
+    out.update_progress(0, 90000 * 50 + 1000, 90000 * 100)
+    assert np.array_equal(out.osd[0], osd_a)              # same second
+    out.update_progress(0, 90000 * 51, 90000 * 100, FFWD)
+    assert not np.array_equal(out.osd[0], osd_a)          # re-rendered
+
+
+def test_icon_selection():
+    assert OutputStage.icon_for(0, False) == PLAY
+    assert OutputStage.icon_for(2, False) == FFWD
+    assert OutputStage.icon_for(0, True) != PLAY
+    assert OutputStage.icon_for(-2, False) != FFWD
+
+
+def test_field_parity_alternates():
+    out = OutputStage(1)
+    y, u, v = frames_for(1)
+    f0 = out.synthesize(y, u, v)
+    f1 = out.synthesize(y, u, v)
+    f2 = out.synthesize(y, u, v)
+    assert not np.array_equal(f0, f1)                     # odd field
+    assert np.array_equal(f0, f2)                         # even again
+
+
+def test_beep_overrides_pcm_and_expires():
+    out = OutputStage(2)
+    pcm = np.zeros((2, 128), np.int16)
+    out.beep(0)
+    a = out.modulate(pcm)
+    # lane 1 silent input -> the idle pattern dominates; lane 0 differs
+    assert not np.array_equal(a[0], a[1])
+    # the beep waveform is the reference's >>2 sine
+    want = (_SIN32[np.arange(128) & 31] >> 2).astype(np.int16)
+    st = DS.init_state(1)
+    ref, _ = DS.modulate(want[None, :], st, n_samples=128)
+    assert np.array_equal(a[0], np.asarray(ref)[0])
+    for _ in range(4):
+        out.beep_frames[0] and out.modulate(pcm)
+    assert out.beep_frames[0] == 0
+    b = out.modulate(pcm)
+    c = out.modulate(pcm)
+    assert np.array_equal(b[0].shape, c[0].shape)
+
+
+def test_pdm_state_carries_across_calls():
+    out = OutputStage(1)
+    rng = np.random.default_rng(7)
+    pcm = rng.integers(-3000, 3000, (1, 256)).astype(np.int16)
+    a = out.modulate(pcm[:, :128])
+    b = out.modulate(pcm[:, 128:])
+    st = DS.init_state(1)
+    whole, _ = DS.modulate(pcm, st, n_samples=256)
+    assert np.array_equal(np.concatenate([a, b], axis=1),
+                          np.asarray(whole))
