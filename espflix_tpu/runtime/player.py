@@ -44,7 +44,8 @@ class PlayerSession:
     """One stream's control plane.  All I/O is pull-based and bounded."""
 
     def __init__(self, service_root: str, store: PositionStore | None = None,
-                 streamer: Streamer | None = None):
+                 streamer: Streamer | None = None, pal: bool = False):
+        from espflix_tpu.video.clock import PresentationClock
         self.root = service_root.rstrip("/")
         self.store = store or PositionStore()
         self.streamer = streamer or Streamer()
@@ -56,6 +57,8 @@ class PlayerSession:
         self.feed = StreamFeed()
         self.eos = False
         self.last_pts = -1          # last presented PTS (current stream)
+        self.clock = PresentationClock(pal=pal)
+        self.last_due = 0           # counter value the frame was due at
 
     # -- service bootstrap (espflix.cpp:676-695) ------------------------
     @classmethod
@@ -167,6 +170,7 @@ class PlayerSession:
         self.feed = StreamFeed()
         self.eos = False
         self.last_pts = -1
+        self.clock.reset()          # new stream: re-latch the origin
         self.state = State.PLAYING if speed == 0 else (
             State.FAST_FORWARD if speed > 0 else State.REWIND)
 
@@ -192,8 +196,10 @@ class PlayerSession:
                           * 188)
             else:
                 self.save_pos(False)
+                self.clock.pause(True)
                 self.state = State.PAUSED
         elif self.state == State.PAUSED:
+            self.clock.pause(False)
             self.state = State.PLAYING
         elif self.state == State.NAV:
             ti = self.info[self.nav_index]
@@ -255,6 +261,10 @@ class PlayerSession:
 
     def on_presented(self, pts: int):
         if pts >= 0:
+            # A/V master-clock mapping (video.cpp:1024-1057): in batch
+            # serving nothing blocks, but the due counter + late-reset
+            # bookkeeping drive pacing/telemetry at the service edge.
+            self.last_due = self.clock.due_time(pts)
             self.last_pts = pts
             self.save_pos(False)
 

@@ -100,6 +100,11 @@ class Fleet:
         n = self.n
         pics = [None] * n
         pts = np.full(n, -1, np.int64)
+        # one tick = one display frame interval: advance every session's
+        # presentation clock (the ISR frame counter, video.cpp:1165)
+        for s in self.sessions:
+            if s is not None:
+                s.clock.tick()
         for i, s in enumerate(self.sessions):
             if s is None:
                 continue

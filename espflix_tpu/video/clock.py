@@ -21,7 +21,7 @@ class PresentationClock:
     pal: bool = False
     frame_counter: int = 0       # advanced by the output stage
     pts_origin: int = 0
-    counter_origin: int = 0      # 0 = unlatched
+    counter_origin: int | None = None   # None = unlatched
     paused_at: int = 0
     late_resets: int = 0
 
@@ -36,14 +36,14 @@ class PresentationClock:
         """Counter value at which a frame with this PTS should display;
         latches the origin on first use."""
         vpts = pts // self.div
-        if self.counter_origin == 0:
+        if self.counter_origin is None:
             self.pts_origin = vpts
             self.counter_origin = self.frame_counter
         due = (vpts - self.pts_origin) + self.counter_origin
         if due < self.frame_counter:
             late = self.frame_counter - due
             if late > 2:
-                self.counter_origin = 0     # re-latch on next frame
+                self.counter_origin = None  # re-latch on next frame
                 self.late_resets += 1
         return due
 
@@ -51,9 +51,10 @@ class PresentationClock:
         if p:
             self.paused_at = self.frame_counter
         else:
-            self.counter_origin = 0
+            self.counter_origin = None
             self.paused_at = 0
 
     def reset(self):
-        self.pts_origin = self.counter_origin = 0
+        self.pts_origin = 0
+        self.counter_origin = None
         self.paused_at = 0
