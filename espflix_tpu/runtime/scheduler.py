@@ -41,9 +41,11 @@ class Fleet:
                  words_per_lane: int = 16384, mesh=None,
                  audio_frames_per_tick: int = 4,
                  parser: str = "device"):
-        """parser: 'device' (all-device FSM scan, the north-star config)
-        or 'hybrid' (native C++ entropy decode + device dense phase;
-        faster on hosts with CPU headroom, bit-exact either way)."""
+        """parser: 'device' (all-device FSM scan, the north-star
+        config), 'pallas' (the slice-parallel VMEM-resident Pallas scan
+        kernel; interpreter mode off-TPU) or 'hybrid' (native C++
+        entropy decode + device dense phase; faster on hosts with CPU
+        headroom).  All bit-exact."""
         self.n = n_lanes
         self.width, self.height = width, height
         self.mb_w, self.mb_h = (width + 15) >> 4, (height + 15) >> 4
@@ -56,6 +58,9 @@ class Fleet:
                                          self.mb_h * 16)
         self.sbc_state = dsbc.init_state(n_lanes)
         self.parser = parser
+        if parser == "pallas":
+            import jax
+            self._pallas_interpret = jax.default_backend() != "tpu"
         if parser == "hybrid":
             from espflix_tpu.tools import oracle as _orc
             if not _orc.available():
@@ -131,6 +136,23 @@ class Fleet:
                     M.decode_picture_batch_hybrid(
                         pics, iq, nq, self.frames,
                         mb_width=self.mb_w, mb_height=self.mb_h)
+            y = np.asarray(presented["y"])
+            u = np.asarray(presented["u"])
+            v = np.asarray(presented["v"])
+            errors = np.asarray(info["error"])
+        elif active_any and self.parser == "pallas" and self.mesh is None:
+            self.events.log(Ev.DECODE_BATCH,
+                            value=int(sum(p is not None for p in pics)))
+            with self.timers.measure("batch_assemble"):
+                b = M.make_picture_batch(
+                    pics, words_per_lane=self.words_per_lane,
+                    max_slices=self.mb_h)
+            with self.timers.measure("device_decode"):
+                self.frames, presented, info = \
+                    M.decode_picture_batch_sliced(
+                        b, self.frames, mb_width=self.mb_w,
+                        mb_height=self.mb_h,
+                        interpret=self._pallas_interpret)
             y = np.asarray(presented["y"])
             u = np.asarray(presented["u"])
             v = np.asarray(presented["v"])

@@ -249,3 +249,32 @@ def test_generated_splash_asset_plays():
         if s.state == State.DONE:
             break
     assert got > 0 and s.state == State.DONE
+
+
+def test_fleet_pallas_parser_matches_device(service):
+    """Fleet(parser='pallas') (slice-parallel Pallas scan, interpreter
+    mode on CPU) presents bit-identical frames to the device parser."""
+    import numpy as np
+
+    outs = {}
+    for parser in ("device", "pallas"):
+        s = PlayerSession("file://" + service)
+        assert s.init_service()
+        s.nav(0)
+        s.play_pause()
+        fleet = Fleet(1, words_per_lane=8192, parser=parser)
+        fleet.attach(0, s)
+        frames = []
+        for _ in range(6):
+            r = fleet.tick(decode_audio=False)
+            if r.video_lanes[0]:
+                frames.append((r.y[0].copy(), r.u[0].copy(),
+                               r.v[0].copy()))
+        assert not r.errors.any()
+        outs[parser] = frames
+    assert len(outs["device"]) == len(outs["pallas"]) > 0
+    for (ya, ua, va), (yb, ub, vb) in zip(outs["device"],
+                                          outs["pallas"]):
+        assert np.array_equal(ya, yb)
+        assert np.array_equal(ua, ub)
+        assert np.array_equal(va, vb)
