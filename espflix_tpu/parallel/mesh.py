@@ -43,7 +43,15 @@ def make_sharded_decoder(mesh: Mesh, *, mb_width: int, mb_height: int,
     over the 'streams' axis.  All inputs/outputs are lane-major and
     sharded on axis 0; the scan/gather/scatter machinery stays
     shard-local (zero ICI traffic on the data path)."""
-    from jax.experimental.shard_map import shard_map
+    import inspect
+    try:
+        from jax import shard_map          # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    # replication checking kwarg was renamed check_rep -> check_vma
+    _params = inspect.signature(shard_map).parameters
+    _check = {"check_vma": False} if "check_vma" in _params \
+        else {"check_rep": False}
 
     from espflix_tpu.models.mpeg1 import decode_picture_impl
 
@@ -63,7 +71,7 @@ def make_sharded_decoder(mesh: Mesh, *, mb_width: int, mb_height: int,
                  dict(error=spec, ok=spec, iters=spec))
     return jax.jit(shard_map(
         wrapped, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_rep=False))
+        **_check))
 
 
 def gather_metrics(mesh: Mesh, error, iters):
