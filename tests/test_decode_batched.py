@@ -119,3 +119,85 @@ def test_slice_spanning_multiple_mb_rows():
         assert np.array_equal(ref[0].y, oy)
         assert np.array_equal(ref[0].u, ou)
         assert np.array_equal(ref[0].v, ov)
+
+def test_mb_stuffing_and_escape_increment():
+    """Hand-built stream exercising MB_STUFFING (discarded, ISO B.1)
+    before an address increment, and MB_ESCAPE (+33) skips in a P
+    picture -- neither is emitted by the in-tree encoder's random
+    scripts with stuffing, so they get a dedicated fixture."""
+    from espflix_tpu.core.bitio import BitWriter
+    from espflix_tpu.core import vlc_tables as V
+
+    inv = {v: k for k, v in V.MB_ADDR_INC.items()}
+    W_, H_ = 96, 112                      # 6 x 7 MBs (42 total)
+    w = BitWriter()
+    w.start_code(0xB3)
+    w.put(W_, 12); w.put(H_, 12); w.put(1, 4); w.put(5, 4)
+    w.put(2928, 18); w.put(1, 1); w.put(20, 10)
+    w.put(0, 1); w.put(0, 1); w.put(0, 1)
+
+    # I picture: every MB coded, two stuffing codes mid-slice
+    w.start_code(0x00)
+    w.put(0, 10); w.put(1, 3); w.put(0xFFFF, 16); w.put(0, 1)
+    y_dc = u_dc = v_dc = 128
+    for row in range(7):
+        w.start_code(row + 1)
+        w.put(8, 5); w.put(0, 1)
+        y_dc = u_dc = v_dc = 128
+        for k in range(6):
+            if k == 2:
+                w.put_str(inv[V.MB_STUFFING])
+                w.put_str(inv[V.MB_STUFFING])
+            E.put_addr_inc(w, 1)
+            w.put_str("1")
+            for b in range(6):
+                dc = 40 + row * 20 + k * 2 + b
+                if b < 4:
+                    E.put_dc(w, dc - y_dc, True); y_dc = dc
+                elif b == 4:
+                    E.put_dc(w, dc - u_dc, False); u_dc = dc
+                else:
+                    E.put_dc(w, dc - v_dc, False); v_dc = dc
+                w.put_str("10")
+
+    # P picture: first MB coded, then escape(+33)+2 = skip 34 -> lands
+    # exactly 35 MBs later (wraps two rows), one slice for the picture
+    w.start_code(0x00)
+    w.put(1, 10); w.put(2, 3); w.put(0xFFFF, 16)
+    w.put(0, 1); w.put(1, 3)              # full_pel=0, f_code=1
+    w.put(0, 1)
+    w.start_code(0x01)
+    w.put(8, 5); w.put(0, 1)
+    E.put_addr_inc(w, 1)
+    w.put_str(E._INV_MB_TYPE_P[V.MBT_INTRA])
+    for b in range(6):
+        E.put_dc(w, 0, b < 4)
+        w.put_str("10")
+    w.put_str(inv[V.MB_ESCAPE])           # +33
+    w.put_str(inv[2])                     # +2 -> increment 35
+    w.put_str(E._INV_MB_TYPE_P[V.MBT_INTRA])   # intra (resets preds)
+    for b in range(6):
+        E.put_dc(w, 72 - 128 if b < 4 else 0, b < 4)
+        w.put_str("10")
+    w.align()
+    w.start_code(0xB7)
+    es = w.tobytes()
+
+    ref = ref_decode(es)
+    assert len(ref) == 2
+    # stuffing was transparent: all I-frame MBs landed
+    assert int(ref[0].y[0, 0]) == 40 and int(ref[0].y[32, 80]) == 90
+    # escape skip: MBs 1..34 copied the I frame; MB 35 (row 5, col 5)
+    # re-coded with dc 72
+    assert np.array_equal(ref[1].y[16:80], ref[0].y[16:80])
+    assert int(ref[1].y[80, 80]) == 72
+    check_lanes([es])
+
+    from espflix_tpu.tools import oracle
+    if oracle.available():
+        frames, _ = oracle.decode_mpeg1(es, max_frames=3,
+                                        width=W_, height=H_)
+        for fr, (oy, ou, ov) in zip(ref, frames):
+            assert np.array_equal(fr.y, oy)
+            assert np.array_equal(fr.u, ou)
+            assert np.array_equal(fr.v, ov)
