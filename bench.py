@@ -10,11 +10,17 @@ Timing is wall-clock over K chained GOP decodes with a hard host sync
 at the end (device-only block_until_ready is unreliable through this
 environment's TPU tunnel).
 
-Two pipeline configs:
-  --pipeline device (default): the all-device path (lane-parallel FSM
-      scan on device + dense dequant+IDCT + MXU one-hot mocomp +
-      compose) - the BASELINE north-star config, and the fastest here.
-  --pipeline hybrid: native C++ entropy decode feeding the same device
+Pipelines:
+  --pipeline auto (default): probe the all-device XLA pipeline and the
+      slice-parallel Pallas scan pipeline with one quick pass each,
+      then measure the faster one (a pallas build/compile failure
+      falls back to device).
+  --pipeline device: lane-parallel FSM scan on device + dense
+      dequant+IDCT + MXU one-hot mocomp + compose (the BASELINE
+      north-star config).
+  --pipeline pallas: the VMEM-resident slice-parallel Pallas scan
+      kernel feeding the same dense phase.
+  --pipeline hybrid: native C++ entropy decode feeding the device
       dense phase (includes host tokenize + host->device upload per
       call; wins on hosts with fast interconnect + many cores).
 
@@ -44,16 +50,15 @@ def main():
     ap.add_argument("--distinct", type=int, default=8,
                     help="distinct content streams tiled across lanes")
     ap.add_argument("--pipeline",
-                    choices=["hybrid", "device", "pallas"],
-                    default="device",
-                    help="device: XLA while-loop scan; pallas: the "
-                         "slice-parallel VMEM-resident scan kernel; "
-                         "hybrid: native host entropy decode")
+                    choices=["auto", "hybrid", "device", "pallas"],
+                    default="auto")
     ap.add_argument("--idct", choices=["auto", "pallas", "jnp"],
                     default="auto",
-                    help="dequant+IDCT kernel (auto: Pallas on TPU)")
+                    help="dequant+IDCT kernel (auto: jnp)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
+
+    import functools
 
     import jax
     import jax.numpy as jnp
@@ -90,16 +95,14 @@ def main():
     log(f"content: {args.pictures} pics/GOP, "
         f"{total_bytes * 8 * 30 / args.pictures / 1e6:.2f} Mb/s @30fps")
 
-    frames = M.init_frame_state(lanes, mbw * 16, mbh * 16)
     per_pic = []
     for k in range(args.pictures):
         per_pic.append([streams[i % args.distinct][k]
                         for i in range(lanes)])
+    idct = {"auto": None, "pallas": True, "jnp": False}[args.idct]
 
-    if args.pipeline == "device":
-        import functools
-
-        idct = {"auto": None, "pallas": True, "jnp": False}[args.idct]
+    # ---- pipeline runners ------------------------------------------------
+    def build_device():
         dec = functools.partial(
             M.decode_picture_batch, mb_width=mbw, mb_height=mbh,
             max_steps=wpl * 32, use_pallas_idct=idct)
@@ -112,25 +115,24 @@ def main():
                 "pic_type", "full_pel", "r_size", "intra_q",
                 "non_intra_q", "active")))
 
-        t0 = time.time()
-        frames, p, info = dec(*batches[0], frames)
-        _ = np.asarray(p["y"])
-        log(f"compile+first: {time.time() - t0:.1f}s")
-        t0 = time.time()
-        n = 0
-        for _ in range(args.reps):
-            for bt in batches:
-                frames, p, info = dec(*bt, frames)
-                n += 1
-        _ = np.asarray(p["y"])
-        dt = time.time() - t0
-    elif args.pipeline == "pallas":
-        import functools
+        def run(reps):
+            frames = M.init_frame_state(lanes, mbw * 16, mbh * 16)
+            frames, p, _ = dec(*batches[0], frames)
+            _ = np.asarray(p["y"])        # compile + warm
+            t0 = time.time()
+            n = 0
+            for _r in range(reps):
+                for bt in batches:
+                    frames, p, _i = dec(*bt, frames)
+                    n += 1
+            _ = np.asarray(p["y"])
+            return n, time.time() - t0
+        return run
 
+    def build_pallas():
         from espflix_tpu.models.mpeg1 import _decode_sliced_impl
         from espflix_tpu.ops import vlc_scan_pallas as VP
 
-        idct = {"auto": None, "pallas": True, "jnp": False}[args.idct]
         batches = []
         for sel in per_pic:
             b = M.make_picture_batch(sel, words_per_lane=wpl,
@@ -144,8 +146,7 @@ def main():
                 tuple(jnp.asarray(b[k]) for k in (
                     "intra_q", "non_intra_q", "active")),
                 sl["out_groups"]))
-
-        interp = platform != "tpu"   # Mosaic only lowers on TPU
+        interp = platform != "tpu"        # Mosaic only lowers on TPU
 
         def dec(bt, frames):
             sa, da, og = bt
@@ -154,39 +155,75 @@ def main():
                 max_steps=2048, out_groups=og, use_pallas_idct=idct,
                 interpret=interp)
 
-        t0 = time.time()
-        frames, p, info = dec(batches[0], frames)
-        _ = np.asarray(p["y"])
-        log(f"compile+first: {time.time() - t0:.1f}s")
-        t0 = time.time()
-        n = 0
-        for _ in range(args.reps):
-            for bt in batches:
-                frames, p, info = dec(bt, frames)
-                n += 1
-        _ = np.asarray(p["y"])
-        dt = time.time() - t0
-    else:
-        iqs = [np.stack([p.seq.intra_q for p in sel]) for sel in per_pic]
+        def run(reps):
+            frames = M.init_frame_state(lanes, mbw * 16, mbh * 16)
+            for bt in batches[:2]:
+                frames, p, _i = dec(bt, frames)
+            _ = np.asarray(p["y"])        # compile both shapes + warm
+            t0 = time.time()
+            n = 0
+            for _r in range(reps):
+                for bt in batches:
+                    frames, p, _i = dec(bt, frames)
+                    n += 1
+            _ = np.asarray(p["y"])
+            return n, time.time() - t0
+        return run
+
+    def build_hybrid():
+        iqs = [np.stack([p.seq.intra_q for p in sel])
+               for sel in per_pic]
         nqs = [np.stack([p.seq.non_intra_q for p in sel])
                for sel in per_pic]
-        t0 = time.time()
-        frames, p, info = M.decode_picture_batch_hybrid(
-            per_pic[0], iqs[0], nqs[0], frames, mb_width=mbw,
-            mb_height=mbh)
-        _ = np.asarray(p["y"])
-        log(f"compile+first: {time.time() - t0:.1f}s")
-        t0 = time.time()
-        n = 0
-        for _ in range(args.reps):
-            for k, sel in enumerate(per_pic):
-                frames, p, info = M.decode_picture_batch_hybrid(
-                    sel, iqs[k], nqs[k], frames, mb_width=mbw,
-                    mb_height=mbh)
-                n += 1
-        _ = np.asarray(p["y"])
-        dt = time.time() - t0
 
+        def run(reps):
+            frames = M.init_frame_state(lanes, mbw * 16, mbh * 16)
+            frames, p, _ = M.decode_picture_batch_hybrid(
+                per_pic[0], iqs[0], nqs[0], frames, mb_width=mbw,
+                mb_height=mbh)
+            _ = np.asarray(p["y"])
+            t0 = time.time()
+            n = 0
+            for _r in range(reps):
+                for k, sel in enumerate(per_pic):
+                    frames, p, _i = M.decode_picture_batch_hybrid(
+                        sel, iqs[k], nqs[k], frames, mb_width=mbw,
+                        mb_height=mbh)
+                    n += 1
+            _ = np.asarray(p["y"])
+            return n, time.time() - t0
+        return run
+
+    builders = dict(device=build_device, pallas=build_pallas,
+                    hybrid=build_hybrid)
+
+    if args.pipeline == "auto":
+        # probe device and pallas with one quick pass each, keep the
+        # faster; any pallas failure (compile service, Mosaic) falls
+        # back to device
+        candidates = {}
+        t0 = time.time()
+        candidates["device"] = builders["device"]()
+        n, dt = candidates["device"](1)
+        scores = {"device": dt / n}
+        log(f"probe device: {dt / n * 1000:.0f}ms/call "
+            f"(setup+compile {time.time() - t0:.0f}s)")
+        try:
+            t0 = time.time()
+            candidates["pallas"] = builders["pallas"]()
+            n, dt = candidates["pallas"](1)
+            scores["pallas"] = dt / n
+            log(f"probe pallas: {dt / n * 1000:.0f}ms/call "
+                f"(setup+compile {time.time() - t0:.0f}s)")
+        except Exception as e:      # noqa: BLE001 - fall back to device
+            log(f"pallas unavailable: {type(e).__name__}: {e}")
+        chosen = min(scores, key=scores.get)
+        log(f"auto -> {chosen}")
+        run = candidates[chosen]
+    else:
+        run = builders[args.pipeline]()
+
+    n, dt = run(args.reps)
     fps = lanes * n / dt
     streams_per_chip = fps / 30.0 / n_chips
     log(f"{n} pictures x {lanes} lanes in {dt:.2f}s -> {fps:.0f} fps, "
