@@ -90,3 +90,24 @@ def test_pdm_state_carries_across_calls():
     whole, _ = DS.modulate(pcm, st, n_samples=256)
     assert np.array_equal(np.concatenate([a, b], axis=1),
                           np.asarray(whole))
+
+
+def test_pal_output_geometry_and_clock(tmp_path):
+    """PAL end-to-end at the runtime level: PAL fields from the output
+    stage (312x1136 geometry) and PAL pacing in the session clock."""
+    from espflix_tpu.video.tables import Geometry
+    from espflix_tpu.video.clock import PAL_DIV
+    from espflix_tpu.runtime.player import PlayerSession
+    from espflix_tpu.tools.indexer import make_service
+
+    g = Geometry(pal=True)
+    out = OutputStage(1, pal=True)
+    y, u, v = frames_for(1)
+    f = out.synthesize(y, u, v)
+    assert f.shape == (1, g.line_count, g.line_width)
+    assert f.shape[1:] == (312, 1136)
+
+    service = str(tmp_path / "svc")
+    make_service(service, ["one"], seed=9, n_gops=1, gop=3)
+    s = PlayerSession("file://" + service, pal=True)
+    assert s.clock.div == PAL_DIV
