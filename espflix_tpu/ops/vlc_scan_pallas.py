@@ -256,7 +256,8 @@ def run_scan_pallas(words, init_state, mb_width: int, mb_count: int,
 # slice-parallel form (production)
 # ---------------------------------------------------------------------------
 
-def pack_slice_rows(batch: dict, words_window: int | None = None):
+def pack_slice_rows(batch: dict, words_window: int | None = None,
+                    sort_rows: bool = False):
     """Host-side: expand a make_picture_batch dict into per-SLICE scan
     rows with words rebased to each slice's word offset.
 
@@ -265,7 +266,13 @@ def pack_slice_rows(batch: dict, words_window: int | None = None):
     Rows whose slice span exceeds words_window are marked dead and the
     lane flagged (callers may fall back to the XLA scan); spans are
     payload-bounded so this only triggers on huge single-slice
-    pictures."""
+    pictures.
+
+    sort_rows=True additionally orders rows by descending slice span so
+    each kernel grid block holds similar-length slices (blocks of short
+    slices hit the all-done early exit sooner); the returned
+    lane_of_row [NS] array routes the scatter (pass it to
+    run_scan_pallas_sliced instead of out_groups)."""
     words = np.asarray(batch["words"])
     starts = np.asarray(batch["slice_starts"])
     rows = np.asarray(batch["slice_rows"])
@@ -311,14 +318,22 @@ def pack_slice_rows(batch: dict, words_window: int | None = None):
 
     start_bits = np.where(ok, starts - (base_c << 5), 0) \
         .astype(np.int32).reshape(NS)
-    return dict(words=out,
-                start_bits=start_bits,
-                rows=np.where(ok, rows, 0).astype(np.int32).reshape(NS),
-                alive=ok.astype(np.int32).reshape(NS),
-                pic_type=np.repeat(np.asarray(batch["pic_type"]), S),
-                full_pel=np.repeat(np.asarray(batch["full_pel"]), S),
-                r_size=np.repeat(np.asarray(batch["r_size"]), S),
-                out_groups=S, overflow=overflow)
+    d = dict(words=out,
+             start_bits=start_bits,
+             rows=np.where(ok, rows, 0).astype(np.int32).reshape(NS),
+             alive=ok.astype(np.int32).reshape(NS),
+             pic_type=np.repeat(np.asarray(batch["pic_type"]), S),
+             full_pel=np.repeat(np.asarray(batch["full_pel"]), S),
+             r_size=np.repeat(np.asarray(batch["r_size"]), S),
+             out_groups=S, overflow=overflow,
+             lane_of_row=np.repeat(np.arange(N, dtype=np.int32), S))
+    if sort_rows:
+        order = np.argsort(-(span.reshape(NS) * d["alive"]),
+                           kind="stable")
+        for k in ("words", "start_bits", "rows", "alive", "pic_type",
+                  "full_pel", "r_size", "lane_of_row"):
+            d[k] = np.ascontiguousarray(d[k][order])
+    return d
 
 
 @functools.partial(
@@ -357,4 +372,51 @@ def run_scan_pallas_sliced(words, start_bits, rows, alive, pic_type,
     err_sub = (out_state[STATE_KEYS.index("error")] != 0) | \
         (out_state[STATE_KEYS.index("state")] != VS.ST_DONE)
     err = err_sub.reshape(NS // out_groups, out_groups).any(axis=1)
+    return coeffs, recs, nfinal, err, jnp.max(iters)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mb_width", "mb_count", "max_steps",
+                              "n_lanes", "chunk", "block_rows",
+                              "interpret"))
+def run_scan_pallas_sorted(words, start_bits, rows, alive, pic_type,
+                           full_pel, r_size, lane_of_row, *,
+                           mb_width: int, mb_count: int, max_steps: int,
+                           n_lanes: int, chunk: int = 256,
+                           block_rows: int = 1024,
+                           interpret: bool = False):
+    """run_scan_pallas_sliced for span-sorted rows: scan rows may be in
+    any order; lane_of_row routes each row's emissions to its lane with
+    one flat scatter.  Sorting (pack_slice_rows(sort_rows=True)) groups
+    similar-length slices per grid block so short blocks hit the
+    all-done early exit sooner."""
+    NS, Wp = words.shape
+    NB = min(block_rows, NS)
+    assert NS % NB == 0 and Wp % 8 == 0
+
+    st = VS.initial_state(
+        NS, start_bits[:, None], rows[:, None], alive,
+        pic_type, full_pel, r_size)
+    st["error"] = st["error"].astype(jnp.int32)
+    packed = jnp.stack([st[k].astype(jnp.int32) for k in STATE_KEYS])
+    ss = start_bits[None, :].astype(jnp.int32)
+    sr = rows[None, :].astype(jnp.int32)
+
+    out_state, log_idx, log_val, iters = _launch(
+        words.T, packed, ss, sr, mb_width=mb_width, mb_count=mb_count,
+        max_steps=max_steps, chunk=chunk, NB=NB, interpret=interpret)
+
+    MB6 = mb_count * 6
+    C1 = mb_count + MB6 + mb_count * 384 + 1
+    flat = lane_of_row[None, :] * C1 + log_idx            # [T, NS]
+    buf = jnp.zeros((n_lanes * C1,), jnp.int32) \
+        .at[flat.reshape(-1)].set(log_val.reshape(-1))
+    buf = buf.reshape(n_lanes, C1)
+    recs = buf[:, :mb_count]
+    nfinal = buf[:, mb_count:mb_count + MB6]
+    coeffs = buf[:, mb_count + MB6:C1 - 1].astype(jnp.int16)
+
+    err_sub = (out_state[STATE_KEYS.index("error")] != 0) | \
+        (out_state[STATE_KEYS.index("state")] != VS.ST_DONE)
+    err = jnp.zeros((n_lanes,), bool).at[lane_of_row].max(err_sub)
     return coeffs, recs, nfinal, err, jnp.max(iters)

@@ -105,3 +105,29 @@ def test_pack_slice_rows_overflow_flags_lane():
     sl = VP.pack_slice_rows(b, words_window=8)
     assert sl["overflow"].all()
     assert sl["alive"].sum() == 0
+
+
+def test_sorted_rows_match_xla():
+    """Span-sorted row order + flat lane_of_row scatter: identical
+    outputs to the XLA scanner."""
+    rng = np.random.default_rng(1000)
+    seq, pics = M.parse_es(
+        E.encode_es(realistic_gop_script(rng, n_pictures=2)))
+    mbw, mbh = seq.mb_width, seq.mb_height
+    for pic in pics[:2]:
+        b = batch_for(pic, n=64)
+        sl = VP.pack_slice_rows(b, sort_rows=True)
+        assert not sl["overflow"].any()
+        # rows really are span-sorted (alive rows first, then dead)
+        alive = sl["alive"]
+        assert alive[: alive.sum()].all()
+        o = VP.run_scan_pallas_sorted(
+            *[jnp.asarray(sl[k]) for k in (
+                "words", "start_bits", "rows", "alive", "pic_type",
+                "full_pel", "r_size", "lane_of_row")],
+            mb_width=mbw, mb_count=mbw * mbh, max_steps=1024,
+            n_lanes=64, block_rows=256, interpret=True)
+        w = xla_scan(b, mbw, mbh, 1024 * mbh)
+        for name, x, y in zip(("coeffs", "recs", "nfinal"),
+                              o[:3], w[:3]):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), name
