@@ -133,12 +133,17 @@ def _make_kernel(mb_width, mb_count, W, n_chunks, chunk, NB, trash):
                 return args
 
             stt, iters = jax.lax.cond(all_done, skip, run, (stt, iters))
+            # write this block's column stripe of the [T, N] log (a
+            # strided rectangular DMA beats a whole-array moveaxis
+            # repack after the kernel)
             cp_i = pltpu.make_async_copy(
-                sc_i, li_ref.at[g, pl.ds(ci * chunk, chunk), :], sem)
+                sc_i, li_ref.at[pl.ds(ci * chunk, chunk),
+                                pl.ds(g * NB, NB)], sem)
             cp_i.start()
             cp_i.wait()
             cp_v = pltpu.make_async_copy(
-                sc_v, lv_ref.at[g, pl.ds(ci * chunk, chunk), :], sem)
+                sc_v, lv_ref.at[pl.ds(ci * chunk, chunk),
+                                pl.ds(g * NB, NB)], sem)
             cp_v.start()
             cp_v.wait()
             return (stt, iters)
@@ -188,8 +193,8 @@ def _launch(words_t, packed, ss, sr, *, mb_width, mb_count, max_steps,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((K, N), jnp.int32),
-            jax.ShapeDtypeStruct((G, T, NB), jnp.int32),
-            jax.ShapeDtypeStruct((G, T, NB), jnp.int32),
+            jax.ShapeDtypeStruct((T, N), jnp.int32),
+            jax.ShapeDtypeStruct((T, N), jnp.int32),
             jax.ShapeDtypeStruct((1, G), jnp.int32),
         ],
         scratch_shapes=[
@@ -199,9 +204,6 @@ def _launch(words_t, packed, ss, sr, *, mb_width, mb_count, max_steps,
         ],
         interpret=interpret,
     )(words_t, packed, ss, sr)
-    # [G, T, NB] -> [T, G*NB] = [T, N]
-    log_idx = jnp.moveaxis(log_idx, 0, 1).reshape(T, N)
-    log_val = jnp.moveaxis(log_val, 0, 1).reshape(T, N)
     return out_state, log_idx, log_val, iters[0]
 
 
