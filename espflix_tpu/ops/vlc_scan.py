@@ -288,16 +288,23 @@ def make_scan_step(consts, mb_width: int, mb_count: int, words_per_lane: int,
 
     layout="lanes" (default): state vars are [N], words [N, W],
     slice_starts/rows [N, S].  layout="rows": state vars are (1, N),
-    words (W, N), slice_starts/rows (S, N) -- the shape the Pallas scan
-    kernel uses (lane dim minor, every tensor a Mosaic-friendly 2-D
-    tile; forces the gather-free reduce peek).
+    words (W, N), slice_starts/rows (S, N) -- Mosaic-friendly 2-D
+    tiles (forces the gather-free reduce peek).  layout="rows8": state
+    vars are (8, N/8) -- ONE vreg per variable at N=1024 instead of 8,
+    cutting the kernel's register pressure 8x; slice_starts/rows are
+    (S, 8, N/8) and the window peek must come via peek_fn.
     """
     MB6 = mb_count * 6
     COEF_STRIDE = mb_count * 384
-    rows = layout == "rows"
+    rows = layout in ("rows", "rows8")
+    rows8 = layout == "rows8"
+    if rows8:
+        assert peek_fn is not None, "rows8 layout requires a peek_fn"
 
     def slice_col(arr, k):
-        # slice_starts/rows column k in either layout
+        # slice_starts/rows column k in any layout
+        if rows8:
+            return arr[k]
         return arr[k:k + 1] if rows else arr[:, k]
 
     def step(carry):

@@ -49,18 +49,21 @@ K = len(STATE_KEYS)
 
 
 PEEK_STRIP = 32     # words per strip in the windowed peek reduce
+SUB = 8             # sublane rows: lane vectors are (SUB, NB // SUB)
 
 
 def _make_kernel(mb_width, mb_count, W, n_chunks, chunk, NB, trash):
     consts = VS.scanner_constants()
+    LN = NB // SUB          # minor (lane) extent of every state tile
 
     def peek_fn(words_ref, bitpos):
         """Strip-mined one-hot reduce straight off the VMEM ref.
 
-        Loading the whole (W, N) window as a value would pin W*N/1024
+        Loading the whole word window as a value would pin W*NB/8192
         vregs and thrash the spiller; reading PEEK_STRIP-row strips
         keeps the live set bounded (statically unrolled -- W/STRIP
-        strips of a handful of vector ops each)."""
+        strips of a handful of vector ops each).  words_ref is
+        (W, 1, SUB, LN); bitpos (SUB, LN)."""
         w_idx = bitpos >> 5
         off = (bitpos & 31).astype(jnp.uint32)
         z = jnp.zeros_like(bitpos)
@@ -69,13 +72,13 @@ def _make_kernel(mb_width, mb_count, W, n_chunks, chunk, NB, trash):
         for k in range(0, W, PEEK_STRIP):
             rows = min(PEEK_STRIP, W - k)
             strip = jax.lax.bitcast_convert_type(
-                words_ref[pl.ds(k, rows), :], jnp.int32)
+                words_ref[pl.ds(k, rows), 0], jnp.int32)
             iota = k + jax.lax.broadcasted_iota(
-                jnp.int32, (rows, 1), 0)
+                jnp.int32, (rows, 1, 1), 0)
             w0 = w0 + jnp.where(iota == w_idx, strip, 0).sum(
-                axis=0, keepdims=True, dtype=jnp.int32)
+                axis=0, dtype=jnp.int32)
             w1 = w1 + jnp.where(iota == w_idx + 1, strip, 0).sum(
-                axis=0, keepdims=True, dtype=jnp.int32)
+                axis=0, dtype=jnp.int32)
         w0 = jax.lax.bitcast_convert_type(w0, jnp.uint32)
         w1 = jax.lax.bitcast_convert_type(w1, jnp.uint32)
         hi = (w0 << off)
@@ -84,29 +87,28 @@ def _make_kernel(mb_width, mb_count, W, n_chunks, chunk, NB, trash):
         return hi | lo
 
     step = VS.make_scan_step(consts, mb_width, mb_count, W,
-                             layout="rows", peek_fn=peek_fn)
+                             layout="rows8", peek_fn=peek_fn)
 
     def kernel(words_ref, state_ref, ss_ref, sr_ref,
                out_state_ref, li_ref, lv_ref, iters_ref,
                sc_i, sc_v, sem):
         g = pl.program_id(0)
         words = words_ref
-        packed = state_ref[...]
-        st = {k: packed[i:i + 1] for i, k in enumerate(STATE_KEYS)}
-        st["slice_starts"] = ss_ref[...]
-        st["slice_rows"] = sr_ref[...]
+        st = {k: state_ref[i, 0] for i, k in enumerate(STATE_KEYS)}
+        st["slice_starts"] = ss_ref[:, 0]
+        st["slice_rows"] = sr_ref[:, 0]
 
         # the loop carry keeps `error` as int32 (Mosaic cannot carry
-        # (1, N) i1 vectors through scf.for); it is a bool only inside
-        # the step body
+        # i1 vectors through scf.for); it is a bool only inside the
+        # step body
         def as_tuple(d):
             return tuple(d[k] for k in STATE_KEYS)
 
         def as_dict(t):
             d = dict(zip(STATE_KEYS, t))
             d["error"] = d["error"] != 0
-            d["slice_starts"] = ss_ref[...]
-            d["slice_rows"] = sr_ref[...]
+            d["slice_starts"] = ss_ref[:, 0]
+            d["slice_rows"] = sr_ref[:, 0]
             return d
 
         def one_step(j, carry):
@@ -115,8 +117,8 @@ def _make_kernel(mb_width, mb_count, W, n_chunks, chunk, NB, trash):
             active = jnp.any(std["state"] != VS.ST_DONE)
             (_, new), (i1, v1) = step((words, std))
             new["error"] = new["error"].astype(jnp.int32)
-            sc_i[pl.ds(j, 1), :] = i1
-            sc_v[pl.ds(j, 1), :] = v1
+            sc_i[pl.ds(j, 1), :, :] = i1[None]
+            sc_v[pl.ds(j, 1), :, :] = v1[None]
             return (as_tuple(new),
                     iters + jnp.where(active, 1, 0).astype(jnp.int32))
 
@@ -128,22 +130,19 @@ def _make_kernel(mb_width, mb_count, W, n_chunks, chunk, NB, trash):
                 return jax.lax.fori_loop(0, chunk, one_step, args)
 
             def skip(args):
-                sc_i[...] = jnp.full((chunk, NB), trash, jnp.int32)
-                sc_v[...] = jnp.zeros((chunk, NB), jnp.int32)
+                sc_i[...] = jnp.full((chunk, SUB, LN), trash, jnp.int32)
+                sc_v[...] = jnp.zeros((chunk, SUB, LN), jnp.int32)
                 return args
 
             stt, iters = jax.lax.cond(all_done, skip, run, (stt, iters))
-            # write this block's column stripe of the [T, N] log (a
-            # strided rectangular DMA beats a whole-array moveaxis
-            # repack after the kernel)
+            # write this block's stripe of the (T, G, SUB, LN) log --
+            # which flattens to the row-major [T, N] layout for free
             cp_i = pltpu.make_async_copy(
-                sc_i, li_ref.at[pl.ds(ci * chunk, chunk),
-                                pl.ds(g * NB, NB)], sem)
+                sc_i, li_ref.at[pl.ds(ci * chunk, chunk), g], sem)
             cp_i.start()
             cp_i.wait()
             cp_v = pltpu.make_async_copy(
-                sc_v, lv_ref.at[pl.ds(ci * chunk, chunk),
-                                pl.ds(g * NB, NB)], sem)
+                sc_v, lv_ref.at[pl.ds(ci * chunk, chunk), g], sem)
             cp_v.start()
             cp_v.wait()
             return (stt, iters)
@@ -152,8 +151,8 @@ def _make_kernel(mb_width, mb_count, W, n_chunks, chunk, NB, trash):
             0, n_chunks, chunk_body, (as_tuple(st), jnp.int32(0)))
 
         final = dict(zip(STATE_KEYS, stt))
-        out_state_ref[...] = jnp.concatenate(
-            [final[k] for k in STATE_KEYS], axis=0)
+        for i, k in enumerate(STATE_KEYS):
+            out_state_ref[i, 0] = final[k]
         iters_ref[0, g] = iters
 
     return kernel
@@ -162,10 +161,12 @@ def _make_kernel(mb_width, mb_count, W, n_chunks, chunk, NB, trash):
 def _launch(words_t, packed, ss, sr, *, mb_width, mb_count, max_steps,
             chunk, NB, interpret):
     """words_t (Wp, N) uint32; packed (K, N); ss/sr (S, N).  Grid over
-    N // NB row groups.  Returns (out_state [K,N], log_idx [T,N],
-    log_val [T,N], iters [G])."""
+    N // NB row groups; inside a block every lane vector is an
+    (8, NB/8) tile (one vreg at NB=1024).  Returns (out_state [K,N],
+    log_idx [T,N], log_val [T,N], iters [G])."""
     Wp, N = words_t.shape
     G = N // NB
+    LN = NB // SUB
     n_chunks = -(-max_steps // chunk)
     T = n_chunks * chunk
     S = ss.shape[0]
@@ -175,36 +176,42 @@ def _launch(words_t, packed, ss, sr, *, mb_width, mb_count, max_steps,
 
     kernel = _make_kernel(mb_width, mb_count, Wp, n_chunks, chunk, NB,
                           TRASH)
+    # (X, N) -> (X, G, SUB, LN): pure reshape, same memory layout
+    words4 = words_t.reshape(Wp, G, SUB, LN)
+    packed4 = packed.reshape(K, G, SUB, LN)
+    ss4 = ss.reshape(S, G, SUB, LN)
+    sr4 = sr.reshape(S, G, SUB, LN)
     grid = (G,)
     out_state, log_idx, log_val, iters = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Wp, NB), lambda g: (0, g)),
-            pl.BlockSpec((K, NB), lambda g: (0, g)),
-            pl.BlockSpec((S, NB), lambda g: (0, g)),
-            pl.BlockSpec((S, NB), lambda g: (0, g)),
+            pl.BlockSpec((Wp, 1, SUB, LN), lambda g: (0, g, 0, 0)),
+            pl.BlockSpec((K, 1, SUB, LN), lambda g: (0, g, 0, 0)),
+            pl.BlockSpec((S, 1, SUB, LN), lambda g: (0, g, 0, 0)),
+            pl.BlockSpec((S, 1, SUB, LN), lambda g: (0, g, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((K, NB), lambda g: (0, g)),
+            pl.BlockSpec((K, 1, SUB, LN), lambda g: (0, g, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((K, N), jnp.int32),
-            jax.ShapeDtypeStruct((T, N), jnp.int32),
-            jax.ShapeDtypeStruct((T, N), jnp.int32),
+            jax.ShapeDtypeStruct((K, G, SUB, LN), jnp.int32),
+            jax.ShapeDtypeStruct((T, G, SUB, LN), jnp.int32),
+            jax.ShapeDtypeStruct((T, G, SUB, LN), jnp.int32),
             jax.ShapeDtypeStruct((1, G), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((chunk, NB), jnp.int32),
-            pltpu.VMEM((chunk, NB), jnp.int32),
+            pltpu.VMEM((chunk, SUB, LN), jnp.int32),
+            pltpu.VMEM((chunk, SUB, LN), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(words_t, packed, ss, sr)
-    return out_state, log_idx, log_val, iters[0]
+    )(words4, packed4, ss4, sr4)
+    return (out_state.reshape(K, N), log_idx.reshape(T, N),
+            log_val.reshape(T, N), iters[0])
 
 
 def _scatter(log_idx, log_val, mb_count, out_groups=1):
