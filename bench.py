@@ -102,75 +102,112 @@ def main():
     idct = {"auto": None, "pallas": True, "jnp": False}[args.idct]
 
     # ---- pipeline runners ------------------------------------------------
+    # Both device pipelines decode the WHOLE GOP inside one jitted
+    # lax.scan (frame state carried on device, one host sync per GOP):
+    # per-call dispatch through this environment's tunnel costs
+    # 0.4-2s, so per-picture dispatch measures the tunnel, not the
+    # chip.  Presented planes reduce to per-picture checksums inside
+    # the scan (materializing [K, N, H, W] would be 1.2GB; production
+    # consumes frames on-device in the output stage).
     def build_device():
+        from espflix_tpu.models.mpeg1 import decode_picture_impl
+
         # symbol budget: measured content peaks at ~8.6k symbols per
         # I picture; the emission log + bulk scatter scale linearly
-        # with this budget (scatter measured 147ms @20000 vs 75ms
-        # @10000 per call), so keep margin bounded
-        dec = functools.partial(
-            M.decode_picture_batch, mb_width=mbw, mb_height=mbh,
-            max_steps=min(wpl * 32, 12000), use_pallas_idct=idct)
-        batches = []
-        for sel in per_pic:
-            b = M.make_picture_batch(sel, words_per_lane=wpl,
-                                     max_slices=mbh)
-            batches.append(tuple(jnp.asarray(b[k]) for k in (
-                "words", "slice_starts", "slice_rows", "n_slices",
+        # with this budget, so keep margin bounded
+        keys = ("words", "slice_starts", "slice_rows", "n_slices",
                 "pic_type", "full_pel", "r_size", "intra_q",
-                "non_intra_q", "active")))
+                "non_intra_q", "active")
+        bats = [M.make_picture_batch(sel, words_per_lane=wpl,
+                                     max_slices=mbh)
+                for sel in per_pic]
+        stacked = {k: jnp.asarray(np.stack([b[k] for b in bats]))
+                   for k in keys}
+
+        @jax.jit
+        def decode_gop(st, frames):
+            def body(frames, xs):
+                frames, p, info = decode_picture_impl(
+                    *[xs[k] for k in keys], frames,
+                    mb_width=mbw, mb_height=mbh,
+                    max_steps=min(wpl * 32, 12000),
+                    use_pallas_idct=idct)
+                chk = (p["y"].astype(jnp.int32).sum()
+                       + info["error"].sum())
+                return frames, chk
+            return jax.lax.scan(body, frames, st)
 
         def run(reps):
             frames = M.init_frame_state(lanes, mbw * 16, mbh * 16)
-            frames, p, _ = dec(*batches[0], frames)
-            _ = np.asarray(p["y"])        # compile + warm
+            frames, chk = decode_gop(stacked, frames)
+            _ = np.asarray(chk)           # compile + warm
             t0 = time.time()
             n = 0
+            frames = M.init_frame_state(lanes, mbw * 16, mbh * 16)
             for _r in range(reps):
-                for bt in batches:
-                    frames, p, _i = dec(*bt, frames)
-                    n += 1
-            _ = np.asarray(p["y"])
+                frames, chk = decode_gop(stacked, frames)
+                n += args.pictures
+            _ = np.asarray(chk)
             return n, time.time() - t0
         return run
 
     def build_pallas():
-        from espflix_tpu.models.mpeg1 import _decode_sliced_impl
+        from espflix_tpu.models.mpeg1 import dense_compose
         from espflix_tpu.ops import vlc_scan_pallas as VP
 
-        batches = []
+        sls = []
+        bats = []
         for sel in per_pic:
             b = M.make_picture_batch(sel, words_per_lane=wpl,
                                      max_slices=mbh)
-            sl = VP.pack_slice_rows(b)
+            sl = VP.pack_slice_rows(b, words_window=None)
             assert not sl["overflow"].any()
-            batches.append((
-                tuple(jnp.asarray(sl[k]) for k in (
-                    "words", "start_bits", "rows", "alive", "pic_type",
-                    "full_pel", "r_size")),
-                tuple(jnp.asarray(b[k]) for k in (
-                    "intra_q", "non_intra_q", "active")),
-                sl["out_groups"]))
+            sls.append(sl)
+            bats.append(b)
+        og = sls[0]["out_groups"]
+        Wp = max(sl["words"].shape[1] for sl in sls)
+        for sl in sls:                    # common window for stacking
+            w = sl["words"]
+            if w.shape[1] < Wp:
+                sl["words"] = np.pad(w, ((0, 0), (0, Wp - w.shape[1])))
+        skeys = ("words", "start_bits", "rows", "alive", "pic_type",
+                 "full_pel", "r_size")
+        bkeys = ("intra_q", "non_intra_q", "active")
+        stacked = {k: jnp.asarray(np.stack([sl[k] for sl in sls]))
+                   for k in skeys}
+        stacked.update({k: jnp.asarray(np.stack([b[k] for b in bats]))
+                        for k in bkeys})
         interp = platform != "tpu"        # Mosaic only lowers on TPU
 
-        def dec(bt, frames):
-            sa, da, og = bt
-            return _decode_sliced_impl(
-                *sa, *da, frames, mb_width=mbw, mb_height=mbh,
-                max_steps=1024, out_groups=og, use_pallas_idct=idct,
-                interpret=interp)
+        @jax.jit
+        def decode_gop(st, frames):
+            def body(frames, xs):
+                coeffs, recs, nfinal, err, _it = \
+                    VP.run_scan_pallas_sliced(
+                        *[xs[k] for k in skeys],
+                        mb_width=mbw, mb_count=mbw * mbh,
+                        max_steps=1024, out_groups=og,
+                        interpret=interp)
+                frames, p = dense_compose(
+                    coeffs, recs, nfinal, xs["intra_q"],
+                    xs["non_intra_q"], xs["active"], frames,
+                    mb_width=mbw, mb_height=mbh,
+                    use_pallas_idct=idct)
+                chk = p["y"].astype(jnp.int32).sum() + err.sum()
+                return frames, chk
+            return jax.lax.scan(body, frames, st)
 
         def run(reps):
             frames = M.init_frame_state(lanes, mbw * 16, mbh * 16)
-            for bt in batches[:2]:
-                frames, p, _i = dec(bt, frames)
-            _ = np.asarray(p["y"])        # compile both shapes + warm
+            frames, chk = decode_gop(stacked, frames)
+            _ = np.asarray(chk)           # compile + warm
             t0 = time.time()
             n = 0
+            frames = M.init_frame_state(lanes, mbw * 16, mbh * 16)
             for _r in range(reps):
-                for bt in batches:
-                    frames, p, _i = dec(bt, frames)
-                    n += 1
-            _ = np.asarray(p["y"])
+                frames, chk = decode_gop(stacked, frames)
+                n += args.pictures
+            _ = np.asarray(chk)
             return n, time.time() - t0
         return run
 
