@@ -237,7 +237,8 @@ def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
                         active, frames, *, mb_width: int, mb_height: int,
                         max_steps: int, use_pallas_idct=None,
                         slice_parallel: bool = False,
-                        peek: str = "gather"):
+                        peek: str = "gather",
+                        max_symbols: int = 20000):
     """Decode one picture per lane; returns (new_frames, presented, info).
 
     presented: dict(y,u,v) uint8 planes of the just-decoded pictures
@@ -271,7 +272,8 @@ def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
             jnp.repeat(r_size, S))
         coeffs, recs, nfinal, st, iters = vlc_scan.run_scan(
             jnp.repeat(words, S, axis=0), st0, mb_width, mb_count,
-            max_steps, out_groups=S, peek=peek)
+            max_steps, out_groups=S, peek=peek,
+            max_symbols=max_symbols)
         err_sub = st["error"] | (st["state"] != vlc_scan.ST_DONE)
         err = err_sub.reshape(N, S).any(axis=1)
     else:
@@ -279,7 +281,8 @@ def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
             N, slice_starts, slice_rows, n_slices, pic_type, full_pel,
             r_size)
         coeffs, recs, nfinal, st, iters = vlc_scan.run_scan(
-            words, st0, mb_width, mb_count, max_steps, peek=peek)
+            words, st0, mb_width, mb_count, max_steps, peek=peek,
+            max_symbols=max_symbols)
         err = st["error"] | (st["state"] != vlc_scan.ST_DONE)
 
     new_frames, presented = dense_compose(
@@ -400,7 +403,7 @@ dense_compose_jit = functools.partial(
 decode_picture_batch = functools.partial(
     jax.jit, static_argnames=("mb_width", "mb_height", "max_steps",
                               "use_pallas_idct", "slice_parallel",
-                              "peek"))(decode_picture_impl)
+                              "peek", "max_symbols"))(decode_picture_impl)
 
 
 @functools.partial(
@@ -621,10 +624,16 @@ def decode_picture_batch_hybrid(pictures: list, intra_q, non_intra_q,
 # ---------------------------------------------------------------------------
 
 def decode_es_batched(streams: list[bytes], words_per_lane=None,
-                      max_steps=None):
+                      max_steps=None, check_errors: bool = True):
     """Decode N elementary streams in lock-step; returns per-lane frame
     lists.  Streams must share dimensions; lanes shorter than the longest
-    stream are starved (present their last frame)."""
+    stream are starved (present their last frame).
+
+    This is the validation/offline path: the symbol budget is set to the
+    payload's bit count (a hard upper bound -- every symbol consumes at
+    least one bit) so no picture can be silently truncated by the
+    serving runtime's bounded budget, and lane errors raise unless
+    check_errors=False."""
     parsed = [parse_es(s) for s in streams]
     seq = parsed[0][0]
     for sq, _ in parsed:
@@ -652,7 +661,12 @@ def decode_es_batched(streams: list[bytes], words_per_lane=None,
             jnp.asarray(b["r_size"]), jnp.asarray(b["intra_q"]),
             jnp.asarray(b["non_intra_q"]), jnp.asarray(b["active"]),
             frames, mb_width=b["mb_width"], mb_height=b["mb_height"],
-            max_steps=int(ms))
+            max_steps=int(ms), max_symbols=int(ms))
+        if check_errors:
+            bad = np.asarray(info["error"]) & np.asarray(b["active"])
+            if bad.any():
+                raise ValueError(
+                    f"picture {k}: lane decode errors at {np.nonzero(bad)[0]}")
         py = np.asarray(presented["y"])
         pu = np.asarray(presented["u"])
         pv = np.asarray(presented["v"])

@@ -40,7 +40,15 @@ def dequant_levels(levels, intra, qscale, qmat):
     v = jnp.where(intra_b, v, v + sign)
     num = v * qscale[..., None] * qmat
     q = jnp.where(num < 0, -((-num) // 16), num // 16)  # trunc toward 0
-    q = jnp.where((q & 1) == 0, q - jnp.sign(q), q)
+    # oddification (player.cpp:1114-1115): `v -= v>0 ? 1 : -1` maps an
+    # even v to the next-lower odd magnitude AND a truncated-to-zero v
+    # to +1.  The 0->+1 branch must apply only to CODED positions
+    # (level != 0): absent coefficients in the dense buffer are 0 and
+    # must stay 0 (the reference never dequants uncoded positions).
+    odd = jnp.where(q > 0, q - 1,
+                    jnp.where(q < 0, q + 1,
+                              jnp.where(levels != 0, 1, 0)))
+    q = jnp.where((q & 1) == 0, odd, q)
     q = jnp.clip(q, -2048, 2047)
     scale = jnp.asarray(V.SCALE_DCT_Q, jnp.int32)
     b = q * scale

@@ -96,7 +96,12 @@ def _kernel(levels_ref, qs_ref, meta_ref, out_ref):
     v = jnp.where(intra == 1, v, v + jnp.sign(v))
     num = v * qscale * qmat
     q = jnp.where(num < 0, -((-num) // 16), num // 16)
-    q = jnp.where((q & 1) == 0, q - jnp.sign(q), q)
+    # oddification incl. the reference's 0 -> +1 on coded positions
+    # (player.cpp:1114-1115); uncoded (lv == 0) stays 0
+    odd = jnp.where(q > 0, q - 1,
+                    jnp.where(q < 0, q + 1,
+                              jnp.where(lv != 0, 1, 0)))
+    q = jnp.where((q & 1) == 0, odd, q)
     q = jnp.clip(q, -2048, 2047)
     b = q * scale
     dc_col = (jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1) == 0)

@@ -193,8 +193,8 @@ def _launch(words_t, packed, ss, sr, *, mb_width, mb_count, max_steps,
         ],
         out_specs=[
             pl.BlockSpec((K, 1, SUB, LN), lambda g: (0, g, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
@@ -265,6 +265,31 @@ def run_scan_pallas(words, init_state, mb_width: int, mb_count: int,
 # slice-parallel form (production)
 # ---------------------------------------------------------------------------
 
+def _row_geometry(NS, block_rows):
+    """Kernel row-group geometry for an arbitrary row count.
+
+    The launch tiles rows into (SUB, NB/SUB) vregs over a grid of
+    NS/NB blocks, so NS must be padded up until some NB <= block_rows
+    that is a multiple of SUB divides it.  Returns (NS_padded, NB).
+    Padding rows are dead (alive=0 -> ST_DONE at init) and their grid
+    blocks hit the all-done chunk skip immediately, so they cost ~zero
+    kernel time."""
+    assert block_rows % SUB == 0
+    NS8 = -(-NS // SUB) * SUB
+    if NS8 > block_rows:
+        return -(-NS8 // block_rows) * block_rows, block_rows
+    return NS8, NS8
+
+
+def _pad_rows(pad, words, start_bits, rows, alive, pic_type, full_pel,
+              r_size):
+    if pad == 0:
+        return words, start_bits, rows, alive, pic_type, full_pel, r_size
+    return (jnp.pad(words, ((0, pad), (0, 0))),
+            jnp.pad(start_bits, (0, pad)), jnp.pad(rows, (0, pad)),
+            jnp.pad(alive, (0, pad)), jnp.pad(pic_type, (0, pad)),
+            jnp.pad(full_pel, (0, pad)), jnp.pad(r_size, (0, pad)))
+
 def pack_slice_rows(batch: dict, words_window: int | None = None,
                     sort_rows: bool = False):
     """Host-side: expand a make_picture_batch dict into per-SLICE scan
@@ -308,7 +333,7 @@ def pack_slice_rows(batch: dict, words_window: int | None = None,
         # auto-size to the longest slice span, bucketed to multiples of
         # 128 words so the jit cache sees few distinct shapes
         words_window = min(-(-max(int(span.max()), 1) // 128) * 128, W)
-    Wp = words_window
+    Wp = min(words_window, W)
 
     overflow = (span > Wp).any(axis=1)
     ok = live & ~overflow[:, None]                        # [N, S]
@@ -324,6 +349,9 @@ def pack_slice_rows(batch: dict, words_window: int | None = None,
     view = sliding_window_view(words, Wp, axis=1)        # [N, W-Wp+1, Wp]
     lane = np.broadcast_to(np.arange(N)[:, None], (N, S))
     out = view[lane.ravel(), base_c.astype(np.intp).reshape(NS)]
+    if Wp % 8:
+        # the kernel requires word windows padded to sublane multiples
+        out = np.pad(out, ((0, 0), (0, 8 - Wp % 8)))
 
     start_bits = np.where(ok, starts - (base_c << 5), 0) \
         .astype(np.int32).reshape(NS)
@@ -358,14 +386,19 @@ def run_scan_pallas_sliced(words, start_bits, rows, alive, pic_type,
     """Slice-parallel Pallas scan: one scan row per slice.
 
     Inputs from pack_slice_rows (words [NS, Wp] rebased per slice).
-    Returns (coeffs, recs, nfinal, err [N], iters) with dense outputs
-    grouped back to N = NS // out_groups lanes."""
+    Any NS is accepted: rows are padded internally to the kernel's
+    tiling (see _row_geometry) and the padding is dropped before the
+    scatter.  Returns (coeffs, recs, nfinal, err [N], iters) with dense
+    outputs grouped back to N = NS // out_groups lanes."""
     NS, Wp = words.shape
-    NB = min(block_rows, NS)
-    assert NS % NB == 0 and Wp % 8 == 0
+    assert Wp % 8 == 0
+    NSp, NB = _row_geometry(NS, block_rows)
+    (words, start_bits, rows, alive, pic_type, full_pel,
+     r_size) = _pad_rows(NSp - NS, words, start_bits, rows, alive,
+                         pic_type, full_pel, r_size)
 
     st = VS.initial_state(
-        NS, start_bits[:, None], rows[:, None], alive,
+        NSp, start_bits[:, None], rows[:, None], alive,
         pic_type, full_pel, r_size)
     st["error"] = st["error"].astype(jnp.int32)
     # single-slice rows: bitpos starts at the rebased offset
@@ -376,8 +409,9 @@ def run_scan_pallas_sliced(words, start_bits, rows, alive, pic_type,
     out_state, log_idx, log_val, iters = _launch(
         words.T, packed, ss, sr, mb_width=mb_width, mb_count=mb_count,
         max_steps=max_steps, chunk=chunk, NB=NB, interpret=interpret)
-    coeffs, recs, nfinal = _scatter(log_idx, log_val, mb_count,
-                                    out_groups=out_groups)
+    out_state = out_state[:, :NS]
+    coeffs, recs, nfinal = _scatter(log_idx[:, :NS], log_val[:, :NS],
+                                    mb_count, out_groups=out_groups)
     err_sub = (out_state[STATE_KEYS.index("error")] != 0) | \
         (out_state[STATE_KEYS.index("state")] != VS.ST_DONE)
     err = err_sub.reshape(NS // out_groups, out_groups).any(axis=1)
@@ -400,11 +434,14 @@ def run_scan_pallas_sorted(words, start_bits, rows, alive, pic_type,
     similar-length slices per grid block so short blocks hit the
     all-done early exit sooner."""
     NS, Wp = words.shape
-    NB = min(block_rows, NS)
-    assert NS % NB == 0 and Wp % 8 == 0
+    assert Wp % 8 == 0
+    NSp, NB = _row_geometry(NS, block_rows)
+    (words, start_bits, rows, alive, pic_type, full_pel,
+     r_size) = _pad_rows(NSp - NS, words, start_bits, rows, alive,
+                         pic_type, full_pel, r_size)
 
     st = VS.initial_state(
-        NS, start_bits[:, None], rows[:, None], alive,
+        NSp, start_bits[:, None], rows[:, None], alive,
         pic_type, full_pel, r_size)
     st["error"] = st["error"].astype(jnp.int32)
     packed = jnp.stack([st[k].astype(jnp.int32) for k in STATE_KEYS])
@@ -414,6 +451,9 @@ def run_scan_pallas_sorted(words, start_bits, rows, alive, pic_type,
     out_state, log_idx, log_val, iters = _launch(
         words.T, packed, ss, sr, mb_width=mb_width, mb_count=mb_count,
         max_steps=max_steps, chunk=chunk, NB=NB, interpret=interpret)
+    out_state = out_state[:, :NS]
+    log_idx = log_idx[:, :NS]
+    log_val = log_val[:, :NS]
 
     MB6 = mb_count * 6
     C1 = mb_count + MB6 + mb_count * 384 + 1

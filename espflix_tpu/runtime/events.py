@@ -36,6 +36,9 @@ class Ev(IntEnum):
     SEEK = 20
     LANE_ERROR = 21
     LANE_RESYNC = 22
+    LANE_GEOMETRY = 23      # picture geometry != fleet geometry
+    LANE_OVERSIZE = 24      # picture payload exceeds words_per_lane
+    AUDIO_STARVED = 25      # playing lane underran its SBC ring
 
 
 @dataclass

@@ -82,10 +82,14 @@ class OutputStage:
         self.blend = np.where(self.blend > 0, self.blend - 1, self.blend)
         return np.asarray(fields)
 
-    def modulate(self, pcm: np.ndarray):
+    def modulate(self, pcm: np.ndarray, starved=None):
         """PCM int16[N, T] -> PDM words uint16-in-int32[N, 2T].
         Lanes with a pending beep play the sine instead (espflix.ino
-        write_pcm_16 beep branch)."""
+        write_pcm_16 beep branch).  starved: optional bool[N]; those
+        lanes get the literal 0xAAAA PDM silence pattern with their
+        modulator state untouched, exactly the reference's underrun
+        behavior (video.cpp:997-1001 writes the silence buffer without
+        running the modulator)."""
         pcm = np.asarray(pcm, np.int16).copy()
         beeping = self.beep_frames > 0
         if beeping.any():
@@ -94,6 +98,12 @@ class OutputStage:
             pcm[beeping] = wave
             self.beep_frames = np.maximum(
                 self.beep_frames - (T + 127) // 128, 0)
+        state_in = self.pdm_state
         out, self.pdm_state = DS.modulate(
             jnp.asarray(pcm), self.pdm_state, n_samples=pcm.shape[1])
+        if starved is not None and np.asarray(starved).any():
+            sv = jnp.asarray(np.asarray(starved, bool))
+            out = jnp.where(sv[:, None], DS.SILENCE_WORD, out)
+            self.pdm_state = jnp.where(sv[:, None], state_in,
+                                       self.pdm_state)
         return np.asarray(out)

@@ -222,6 +222,14 @@ class PlayerSession:
         ti.pos = max(0, ti.pos)
         self.play(self.nav_index, 0, self.get_index(0, ti.pos) * 188)
 
+    def park(self, reason: str = ""):
+        """Stop the lane on unrecoverable content (e.g. stream geometry
+        that can never fit its fleet).  State is kept for inspection;
+        nav()/play() revives the session."""
+        self.streamer.close()
+        self.park_reason = reason
+        self.state = State.STOPPED
+
     def menu(self):
         if self.state in (State.PLAYING, State.PAUSED, State.FAST_FORWARD,
                           State.REWIND):

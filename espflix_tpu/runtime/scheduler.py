@@ -33,7 +33,11 @@ class TickResult:
     pts: np.ndarray                  # int64[N] (-1 if none)
     errors: np.ndarray               # bool[N]
     audio_lanes: np.ndarray          # bool[N] lanes with new PCM
-    pcm: np.ndarray | None           # int16[N, F*128]
+    pcm: np.ndarray | None           # int16[N, <=F*2*128] (see pcm_samples)
+    pcm_samples: np.ndarray | None = None  # int32[N] valid samples per lane
+    audio_starved: np.ndarray | None = None  # bool[N] playing lanes that
+    # underran their SBC ring this tick; the output stage substitutes
+    # PDM silence for them (video.cpp:997-1001)
 
 
 class Fleet:
@@ -80,10 +84,12 @@ class Fleet:
         self._probe = self._sbc_probe
 
     @staticmethod
-    def _sbc_probe(data: bytes) -> int:
+    def _sbc_probe(data: bytes):
         d = SbcDecoder()
         r = d.parse_frame(data)
-        return r[1] if r else 0
+        if not r:
+            return 0
+        return r[1], d.channels, d.blocks
 
     def attach(self, lane: int, session: PlayerSession):
         self.sessions[lane] = session
@@ -110,15 +116,33 @@ class Fleet:
         for s in self.sessions:
             if s is not None:
                 s.clock.tick()
+        pre_errors = np.zeros(n, bool)
         for i, s in enumerate(self.sessions):
             if s is None:
                 continue
             p = s.next_picture()
             if p is None:
                 continue
-            if p.seq.width != self.width or p.seq.height != self.height \
-                    or len(p.payload) // 4 + 4 > self.words_per_lane:
-                continue  # geometry/oversize: skip this picture
+            if p.seq.width != self.width or p.seq.height != self.height:
+                # a stream of the wrong geometry can never decode into
+                # this fleet's frame planes: flag and park the lane
+                # (attach it to a fleet of its geometry to revive it)
+                self.events.log(Ev.LANE_GEOMETRY, i,
+                                value=(p.seq.width << 16) | p.seq.height)
+                pre_errors[i] = True
+                s.park(f"geometry {p.seq.width}x{p.seq.height} != "
+                       f"fleet {self.width}x{self.height}")
+                continue
+            if len(p.payload) // 4 + 4 > self.words_per_lane:
+                # transient oversize picture: drop it, flag the lane and
+                # re-seek to the next random-access point so decode state
+                # stays consistent (SURVEY.md 5.3)
+                self.events.log(Ev.LANE_OVERSIZE, i,
+                                value=len(p.payload))
+                pre_errors[i] = True
+                if s.resync():
+                    self.events.log(Ev.LANE_RESYNC, i)
+                continue
             pics[i] = p
             pts[i] = p.pts
 
@@ -198,38 +222,85 @@ class Fleet:
                         self.events.log(Ev.LANE_RESYNC, i)
 
         # -- audio ---------------------------------------------------------
+        # Lanes group by operating point (frame_size, channels); each
+        # group decodes in ONE fleet-width jitted call (inactive lanes
+        # masked) so shapes stay stable across ticks.  Partial tails
+        # batch via per-lane n_valid masking; only frames the device
+        # model rejects (blocks != 16) detour to the host decoder, and
+        # that PCM is merged into the tick output too.  Playing lanes
+        # that underran are reported in audio_starved so the output
+        # stage can substitute PDM silence (video.cpp:997-1001).
+        from espflix_tpu.runtime.player import State
         audio_lanes = np.zeros(n, bool)
+        audio_starved = np.zeros(n, bool)
         pcm = None
+        pcm_samples = np.zeros(n, np.int32)
         if decode_audio:
             F = self.audio_F
-            frame_lists = [[] for _ in range(n)]
+            groups: dict[tuple[int, int], list[tuple[int, list]]] = {}
+            host_pcm: dict[int, np.ndarray] = {}
             for i, s in enumerate(self.sessions):
                 if s is None:
                     continue
                 ring = s.feed.audio
-                if ring.discover(self._probe) and ring.frame_size:
-                    fr = ring.pop_frames(F)
-                    if len(fr) == F and ring.frame_size == 64:
-                        frame_lists[i] = fr
-                        audio_lanes[i] = True
-                    elif fr:
-                        # partial tail / nonstandard size: host fallback
-                        s._host_audio = getattr(s, "_host_audio",
-                                                SbcDecoder())
-                        out = [s._host_audio.decode_frame(f)[0]
-                               for f in fr]
-                        s.pcm_tail = np.concatenate(out) if out else None
-            if audio_lanes.any():
-                arr = np.zeros((n, F, 64), np.uint8)
-                for i in range(n):
-                    if audio_lanes[i]:
-                        for j, f in enumerate(frame_lists[i]):
-                            arr[i, j] = np.frombuffer(f, np.uint8)
+                if not (ring.discover(self._probe) and ring.frame_size):
+                    continue
+                fr = ring.pop_frames(F)
+                if not fr:
+                    if s.state in (State.PLAYING, State.FAST_FORWARD,
+                                   State.REWIND) and not s.eos:
+                        audio_starved[i] = True
+                        self.events.log(Ev.AUDIO_STARVED, i)
+                    continue
+                if ring.blocks == 16:
+                    groups.setdefault(
+                        (ring.frame_size, ring.channels), []) \
+                        .append((i, fr))
+                else:
+                    # nonstandard block count: host scalar decode
+                    s._host_audio = getattr(s, "_host_audio",
+                                            SbcDecoder())
+                    out = []
+                    for f in fr:
+                        r = s._host_audio.decode_frame(f)
+                        if r:
+                            out.append(r[0])
+                    if out:
+                        host_pcm[i] = np.concatenate(out)
+            if groups or host_pcm:
+                width = max(
+                    [F * ch * 128 for (_, ch) in groups] +
+                    [len(p) for p in host_pcm.values()])
+                pcm = np.zeros((n, width), np.int16)
+            for (fs, ch), members in groups.items():
+                arr = np.zeros((n, F, fs), np.uint8)
+                nval = np.zeros(n, np.int32)
+                act = np.zeros(n, bool)
+                for i, fr in members:
+                    nval[i] = len(fr)
+                    act[i] = True
+                    for j, f in enumerate(fr):
+                        arr[i, j] = np.frombuffer(f, np.uint8)
                 words = jnp.asarray(dsbc.frames_to_words(arr))
-                out, self.sbc_state, err, _ = dsbc.decode_frames_batched(
-                    words, self.sbc_state, n_frames=F,
-                    active=jnp.asarray(audio_lanes))
-                pcm = np.asarray(out)
+                with self.timers.measure("audio_decode"):
+                    out, self.sbc_state, err, _ = \
+                        dsbc.decode_frames_batched(
+                            words, self.sbc_state,
+                            active=jnp.asarray(act),
+                            n_valid=jnp.asarray(nval),
+                            n_frames=F, channels=ch)
+                outn = np.asarray(out)
+                per = ch * 128
+                for i, fr in members:
+                    k = len(fr) * per
+                    pcm[i, :k] = outn[i, :k]
+                    pcm_samples[i] = k
+                    audio_lanes[i] = True
+            for i, p in host_pcm.items():
+                pcm[i, :len(p)] = p
+                pcm_samples[i] = len(p)
+                audio_lanes[i] = True
 
+        errors = errors | pre_errors
         return TickResult(video_lanes, y, u, v, pts, errors,
-                          audio_lanes, pcm)
+                          audio_lanes, pcm, pcm_samples, audio_starved)

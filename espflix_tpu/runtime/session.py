@@ -133,6 +133,8 @@ class SbcRing:
     (video.cpp:957-987 semantics, unbounded host-side)."""
     buf: bytearray = field(default_factory=bytearray)
     frame_size: int = 0
+    channels: int = 1       # discovered with frame_size (header mode)
+    blocks: int = 16        # discovered blocks/frame
     pts: int = -1           # latest PES pts (90 kHz)
 
     def push(self, data: bytes, pts: int):
@@ -141,11 +143,17 @@ class SbcRing:
         self.buf += data
 
     def discover(self, probe) -> int:
-        """probe(bytes)->frame_len; returns frame size (0 if unknown)."""
+        """probe(bytes) -> frame_len or (frame_len, channels, blocks);
+        returns frame size (0 if unknown)."""
         if not self.frame_size and len(self.buf) >= 64:
             n = probe(bytes(self.buf[:min(len(self.buf), 512)]))
+            ch, bl = 1, 16
+            if isinstance(n, tuple):
+                n, ch, bl = n
             if n and n > 0:
                 self.frame_size = n
+                self.channels = ch
+                self.blocks = bl
         return self.frame_size
 
     def pop_frames(self, max_frames: int) -> list[bytes]:

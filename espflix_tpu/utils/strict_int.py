@@ -132,8 +132,8 @@ def dequant_array(level, intra, quantizer_scale, q_zz, xp=None):
         if not intra:
             v += sign_nonzero(v)
         v = div_trunc(v * quantizer_scale * q_zz, 16)
-        if (v & 1) == 0:
-            v -= sign_nonzero(v)
+        if (v & 1) == 0 and level != 0:
+            v -= 1 if v > 0 else -1   # truncated-to-0 -> +1, as the ref
         return clamp(v, -2048, 2047)
     if xp is None:
         xp = _np_of(level)
@@ -141,5 +141,9 @@ def dequant_array(level, intra, quantizer_scale, q_zz, xp=None):
     v = xp.where(intra, v, v + sign_nonzero(v))
     v = div_trunc(v * quantizer_scale * q_zz, 16)
     even = (v & 1) == 0
-    v = xp.where(even, v - sign_nonzero(v), v)
+    # reference oddification is `v -= v>0 ? 1 : -1` which maps a
+    # truncated-to-zero v to +1 (player.cpp:1114-1115).  That applies to
+    # CODED coefficients only: level == 0 means "absent" (the reference
+    # never dequants uncoded positions) and stays 0.
+    v = xp.where(even & (level != 0), v - xp.where(v > 0, 1, -1), v)
     return clamp(v, -2048, 2047)

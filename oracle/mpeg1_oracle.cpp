@@ -336,11 +336,15 @@ struct Decoder {
             n += run;
             if (n >= 64) { error = 4; return; }
             int zz = ZIG_ZAG[n++];
-            // exact dequant (player.cpp:1110-1121); native C semantics
+            // exact dequant (player.cpp:1110-1121); native C semantics.
+            // Oddification maps a truncated-to-zero v to +1 (the
+            // reference's `v -= v>0 ? 1 : -1`).  level==0 (malformed
+            // escape) stays 0 to match the dense pipeline's
+            // absent-coefficient representation.
             int v = level * 2;
             if (!intra) v += (v < 0 ? -1 : (v > 0 ? 1 : 0));
             v = (v * quantizer_scale * q[zz]) / 16;
-            if ((v & 1) == 0) v -= v > 0 ? 1 : (v < 0 ? -1 : 0);
+            if ((v & 1) == 0 && level != 0) v -= v > 0 ? 1 : -1;
             if (v > 2047) v = 2047; else if (v < -2048) v = -2048;
             b[zz] = v * (int)SCALE_DCT_Q[zz];
         }

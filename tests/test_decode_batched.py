@@ -201,3 +201,51 @@ def test_mb_stuffing_and_escape_increment():
             assert np.array_equal(fr.y, oy)
             assert np.array_equal(fr.u, ou)
             assert np.array_equal(fr.v, ov)
+
+
+def _tiny_quant_script():
+    """All-ones quant matrices + qscale 1: small levels truncate to 0 in
+    dequant, hitting the reference's 0 -> +1 oddification
+    (player.cpp:1114-1115; ADVICE r1).  Deterministic content."""
+    W, H = 96, 64
+    mb_w, mb_h = 6, 4
+    iq = np.ones(64, np.uint8)
+    nq = np.ones(64, np.uint8)
+
+    def i_block(b):
+        return [(0, 100 + 7 * b)] + [(1 + k, 1 + (k + b) % 3)
+                                     for k in range(5)]
+
+    pic_i = {"type": "I", "full_pel": 0, "f_code": 1, "slices": []}
+    for row in range(mb_h):
+        sl = {"row": row, "qscale": 1,
+              "mbs": [{"addr_inc": 1, "intra": True, "quant": None,
+                       "blocks": [i_block(b) for b in range(6)]}
+                      for _ in range(mb_w)]}
+        pic_i["slices"].append(sl)
+
+    pic_p = {"type": "P", "full_pel": 0, "f_code": 1, "slices": []}
+    for row in range(mb_h):
+        mbs = []
+        for x in range(mb_w):
+            blocks = [None] * 6
+            blocks[x % 6] = [(1, 1), (2, -1), (5, 2)]
+            mbs.append({"addr_inc": 1, "intra": False, "quant": None,
+                        "mv": None, "blocks": blocks})
+        pic_p["slices"].append({"row": row, "qscale": 1, "mbs": mbs})
+
+    return {"width": W, "height": H, "intra_q": iq, "non_intra_q": nq,
+            "pictures": [pic_i, pic_p]}
+
+
+def test_tiny_quant_oddification_zero_to_one():
+    """The truncated-to-zero dequant path must follow the reference
+    (0 -> +1), and device == scalar on a stream that exercises it."""
+    from espflix_tpu.utils import strict_int as si
+    # pin the semantic directly: level 1, qscale 1, qmat 1
+    assert si.dequant_array(1, True, 1, 1) == 1    # (2*1*1)/16=0 -> +1
+    # the reference maps truncated-to-zero to +1 REGARDLESS of the
+    # level's sign (`v -= v>0 ? 1 : -1` with v==0 adds 1)
+    assert si.dequant_array(-1, True, 1, 1) == 1
+    assert si.dequant_array(1, False, 1, 1) == 1   # (3*1*1)/16=0 -> +1
+    check_lanes([E.encode_es(_tiny_quant_script())])

@@ -105,3 +105,104 @@ def test_fleet_logs_error_and_resyncs(tmp_path):
     # the lane kept decoding after recovery
     err_at = names.index(Ev.LANE_ERROR)
     assert Ev.DECODE_BATCH in names[err_at:]
+
+
+def test_geometry_mismatch_flags_and_parks_lane(tmp_path):
+    """A lane streaming the wrong geometry into a fleet must not freeze
+    silently: LANE_GEOMETRY is logged, errors[i] set, and the lane is
+    parked (VERDICT r1 weak #4; the reference prints on every anomaly,
+    SURVEY 4.5)."""
+    from espflix_tpu.runtime.player import PlayerSession, State
+    from espflix_tpu.runtime.scheduler import Fleet
+    from espflix_tpu.tools.indexer import make_service
+
+    service = str(tmp_path / "svc")
+    make_service(service, ["one"], seed=5, n_gops=2, gop=4)  # 352x192
+    s = PlayerSession("file://" + service)
+    assert s.init_service()
+    s.nav(0)
+    s.play_pause()
+
+    fleet = Fleet(1, width=96, height=64, words_per_lane=8192)
+    fleet.attach(0, s)
+    r = fleet.tick(decode_audio=False)
+    assert r.errors[0]
+    assert not r.video_lanes[0]
+    names = [e.ev for e in fleet.events.dump(10 ** 6)]
+    assert Ev.LANE_GEOMETRY in names
+    assert s.state == State.STOPPED
+    assert "geometry" in s.park_reason
+
+
+def test_oversize_payload_flags_and_resyncs(tmp_path):
+    """An oversize picture is dropped with LANE_OVERSIZE + errors[i] and
+    the lane re-seeks rather than freezing (VERDICT r1 weak #4)."""
+    from espflix_tpu.runtime.player import PlayerSession
+    from espflix_tpu.runtime.scheduler import Fleet
+    from espflix_tpu.tools.indexer import make_service
+
+    service = str(tmp_path / "svc")
+    make_service(service, ["one"], seed=6, n_gops=3, gop=4)
+    s = PlayerSession("file://" + service)
+    assert s.init_service()
+    s.nav(0)
+    s.play_pause()
+
+    # tiny word budget: every picture is oversize
+    fleet = Fleet(1, words_per_lane=16)
+    fleet.attach(0, s)
+    r = fleet.tick(decode_audio=False)
+    assert r.errors[0]
+    names = [e.ev for e in fleet.events.dump(10 ** 6)]
+    assert Ev.LANE_OVERSIZE in names
+    assert Ev.LANE_RESYNC in names  # index exists -> re-seek succeeded
+
+
+def test_starved_audio_lane_gets_pdm_silence(tmp_path):
+    """A playing lane that underruns its SBC ring is reported in
+    audio_starved and the output stage substitutes the reference's
+    0xAAAA PDM silence with the modulator state untouched
+    (video.cpp:997-1001)."""
+    import jax.numpy as jnp
+    from espflix_tpu.ops import delta_sigma as DS
+    from espflix_tpu.runtime.output import OutputStage
+    from espflix_tpu.runtime.player import PlayerSession
+    from espflix_tpu.runtime.scheduler import Fleet
+    from espflix_tpu.tools.indexer import make_service
+
+    from espflix_tpu.tools.sbc_encode import random_frame
+    rng = np.random.default_rng(7)
+    audio = [(random_frame(rng, mode=0, bitpool=28), k * 240)
+             for k in range(60)]
+    service = str(tmp_path / "svc")
+    make_service(service, ["one"], seed=7, n_gops=2, gop=4,
+                 audio_frames=audio)
+    s = PlayerSession("file://" + service)
+    assert s.init_service()
+    s.nav(0)
+    s.play_pause()
+    fleet = Fleet(1, words_per_lane=8192, audio_frames_per_tick=4)
+    fleet.attach(0, s)
+
+    starved_seen = False
+    for _ in range(30):
+        r = fleet.tick()
+        if r.audio_lanes[0]:
+            break
+    assert r.audio_lanes[0], "audio never discovered"
+    # simulate a stalled transport mid-play: no new pictures, ring dry
+    s.next_picture = lambda *a, **k: None
+    s.feed.audio.buf.clear()
+    r = fleet.tick()
+    starved_seen = bool(r.audio_starved is not None
+                        and r.audio_starved[0])
+    assert starved_seen, "underrun never reported"
+    names = [e.ev for e in fleet.events.dump(10 ** 6)]
+    assert Ev.AUDIO_STARVED in names
+
+    out = OutputStage(1)
+    st_before = np.asarray(out.pdm_state).copy()
+    pdm = out.modulate(np.zeros((1, 64), np.int16),
+                       starved=np.array([True]))
+    assert (pdm == DS.SILENCE_WORD).all()
+    assert np.array_equal(np.asarray(out.pdm_state), st_before)

@@ -51,3 +51,12 @@ def test_full_pel_and_high_fcode():
         if any(p.get("full_pel") for p in sc["pictures"]):
             break
     assert_oracle_matches(sc, "full_pel")
+
+
+def test_tiny_quant_oddification_bit_exact():
+    """Custom all-ones quant matrices with qscale 1: dequant truncates
+    small coefficients to zero and the reference oddification maps them
+    to +1 (player.cpp:1114-1115).  Oracle and scalar must agree on a
+    stream built to exercise that path (ADVICE r1)."""
+    from tests.test_decode_batched import _tiny_quant_script
+    assert_oracle_matches(_tiny_quant_script(), "tiny_quant")

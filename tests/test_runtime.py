@@ -139,7 +139,7 @@ def test_audio_pipeline_bit_exact(service):
     for _ in range(60):
         r = fleet.tick()
         if r.pcm is not None and r.audio_lanes[0]:
-            pcm_parts.append(r.pcm[0])
+            pcm_parts.append(r.pcm[0][:r.pcm_samples[0]])
         if s.state == State.DONE:
             break
     got = np.concatenate(pcm_parts)

@@ -58,8 +58,10 @@ def test_dequant_exact_vs_scalar_model():
             v += -1 if v < 0 else (1 if v > 0 else 0)
         num = v * qs * q
         v = -((-num) // 16) if num < 0 else num // 16
-        if (v & 1) == 0:
-            v -= 1 if v > 0 else (-1 if v < 0 else 0)
+        # player.cpp:1114-1115 `v -= v>0 ? 1 : -1`: a truncated-to-zero
+        # v becomes +1.  level==0 (absent coefficient) stays 0.
+        if (v & 1) == 0 and level != 0:
+            v -= 1 if v > 0 else -1
         return max(-2048, min(2047, v))
 
     rng = np.random.default_rng(1)
