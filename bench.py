@@ -2,9 +2,22 @@
 """Benchmark: concurrent real-time 352x192 MPEG-1 streams per chip.
 
 Decodes realistic ~1.5 Mb/s GOP content (I+P, half-pel MVs, divergent
-per-lane streams) and reports how many 30 fps streams one chip
-sustains.  Baseline: the reference decodes exactly 1 stream per ESP32
-chip (BASELINE.md).
+per-lane streams, per-lane random GOP phase) and reports how many
+30 fps streams one chip sustains.  Baseline: the reference decodes
+exactly 1 stream per ESP32 chip (BASELINE.md).
+
+Stages (--stage):
+  full (default): the reference's complete per-tick work on device --
+      bitstream decode + TWO composite NTSC field syntheses (the ISR
+      runs 60 fields/s per 30 fps stream, video.cpp:1122-1198) + SBC
+      audio decode (13 frames >= 1600 samples/tick) + delta-sigma PDM
+      modulation, all chained inside one jitted lax.scan per GOP.
+  decode: video decode only (round-1's headline, for comparison).
+
+Phases (--phase): mixed (default) gives every lane a random GOP phase,
+so every tick carries I-frame lanes and pays the I-frame symbol
+budget -- the realistic fleet steady state; aligned reproduces the
+round-1 favorable phasing.
 
 Timing is wall-clock over K chained GOP decodes with a hard host sync
 at the end (device-only block_until_ready is unreliable through this
@@ -22,7 +35,8 @@ Pipelines:
       kernel feeding the same dense phase.
   --pipeline hybrid: native C++ entropy decode feeding the device
       dense phase (includes host tokenize + host->device upload per
-      call; wins on hosts with fast interconnect + many cores).
+      call; wins on hosts with fast interconnect + many cores;
+      decode stage only).
 
 Prints one JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -52,6 +66,10 @@ def main():
     ap.add_argument("--pipeline",
                     choices=["auto", "hybrid", "device", "pallas"],
                     default="auto")
+    ap.add_argument("--stage", choices=["full", "decode"],
+                    default="full")
+    ap.add_argument("--phase", choices=["mixed", "aligned"],
+                    default="mixed")
     ap.add_argument("--idct", choices=["auto", "pallas", "jnp"],
                     default="auto",
                     help="dequant+IDCT kernel (auto: jnp)")
@@ -79,8 +97,9 @@ def main():
     log(f"platform={platform} chips={n_chips} lanes={lanes} "
         f"pipeline={args.pipeline}")
 
-    # distinct per-lane content, GOP-phase aligned (fleet scheduling
-    # groups lanes by phase; divergence itself measured cost-neutral)
+    # distinct per-lane content; mixed phase rotates each lane's GOP
+    # position so every tick carries I-frame lanes (the realistic
+    # fleet steady state -- ticks are phase-heterogeneous)
     streams = []
     for s in range(args.distinct):
         rng = np.random.default_rng(1000 + s)
@@ -95,11 +114,69 @@ def main():
     log(f"content: {args.pictures} pics/GOP, "
         f"{total_bytes * 8 * 30 / args.pictures / 1e6:.2f} Mb/s @30fps")
 
+    prng = np.random.default_rng(7)
+    if args.phase == "mixed":
+        phase = prng.integers(0, args.pictures, lanes)
+    else:
+        phase = np.zeros(lanes, np.int64)
     per_pic = []
     for k in range(args.pictures):
-        per_pic.append([streams[i % args.distinct][k]
-                        for i in range(lanes)])
+        per_pic.append(
+            [streams[i % args.distinct][(k + phase[i]) % args.pictures]
+             for i in range(lanes)])
     idct = {"auto": None, "pallas": True, "jnp": False}[args.idct]
+
+    # ---- output-stage content + step (the --stage full tail) -------------
+    # per tick and lane: two NTSC fields (60 fields/s) + 13 SBC frames
+    # (1664 >= 1600 PCM samples/tick at 48 kHz) + delta-sigma PDM
+    F_A = 13
+
+    def build_output_step():
+        from espflix_tpu.models import sbc as dsbc
+        from espflix_tpu.ops import composite as Co
+        from espflix_tpu.ops import delta_sigma as DS
+        from espflix_tpu.tools.sbc_encode import random_frame
+
+        arng = np.random.default_rng(17)
+        frames_a = np.stack(
+            [np.frombuffer(random_frame(arng, mode=0, bitpool=28),
+                           np.uint8) for _ in range(F_A)])
+        aud = np.broadcast_to(frames_a, (lanes, F_A, 64))
+        aud_words = jnp.asarray(dsbc.frames_to_words(
+            np.ascontiguousarray(aud)))
+        osd = jnp.zeros((lanes, 16, 80), jnp.uint8)
+        blend = jnp.zeros(lanes, jnp.int32)
+        prog = jnp.zeros(lanes, jnp.int32)
+        par0 = jnp.zeros(lanes, jnp.int32)
+        par1 = jnp.ones(lanes, jnp.int32)
+
+        def init_carry():
+            return (dsbc.init_state(lanes), DS.init_state(lanes))
+
+        def output_tick(p, carry):
+            sbc_hist, ds_state = carry
+            f0 = Co.synthesize_field(p["y"], p["u"], p["v"], par0,
+                                     osd, blend, prog, pal=False)
+            f1 = Co.synthesize_field(p["y"], p["u"], p["v"], par1,
+                                     osd, blend, prog, pal=False)
+            pcm, sbc_hist, _aerr, _ = dsbc.decode_frames_batched(
+                aud_words, sbc_hist, n_frames=F_A)
+            pdm, ds_state = DS.modulate(pcm, ds_state,
+                                        n_samples=F_A * 128)
+            chk = (f0.astype(jnp.int32).sum()
+                   + f1.astype(jnp.int32).sum()
+                   + pdm.sum())
+            return (sbc_hist, ds_state), chk
+        return init_carry, output_tick
+
+    if args.stage == "full":
+        out_init, out_tick = build_output_step()
+    else:
+        def out_init():
+            return ()
+
+        def out_tick(p, carry):
+            return carry, jnp.int32(0)
 
     # ---- pipeline runners ------------------------------------------------
     # Both device pipelines decode the WHOLE GOP inside one jitted
@@ -125,27 +202,32 @@ def main():
                    for k in keys}
 
         @jax.jit
-        def decode_gop(st, frames):
-            def body(frames, xs):
+        def decode_gop(st, frames, ocarry):
+            def body(carry, xs):
+                frames, ocarry = carry
                 frames, p, info = decode_picture_impl(
                     *[xs[k] for k in keys], frames,
                     mb_width=mbw, mb_height=mbh,
                     max_steps=min(wpl * 32, 12000),
                     use_pallas_idct=idct)
+                ocarry, ochk = out_tick(p, ocarry)
                 chk = (p["y"].astype(jnp.int32).sum()
-                       + info["error"].sum())
-                return frames, chk
-            return jax.lax.scan(body, frames, st)
+                       + info["error"].sum() + ochk)
+                return (frames, ocarry), chk
+            (frames, ocarry), chk = jax.lax.scan(
+                body, (frames, ocarry), st)
+            return frames, ocarry, chk
 
         def run(reps):
             frames = M.init_frame_state(lanes, mbw * 16, mbh * 16)
-            frames, chk = decode_gop(stacked, frames)
+            frames, oc, chk = decode_gop(stacked, frames, out_init())
             _ = np.asarray(chk)           # compile + warm
             t0 = time.time()
             n = 0
             frames = M.init_frame_state(lanes, mbw * 16, mbh * 16)
+            oc = out_init()
             for _r in range(reps):
-                frames, chk = decode_gop(stacked, frames)
+                frames, oc, chk = decode_gop(stacked, frames, oc)
                 n += args.pictures
             _ = np.asarray(chk)
             return n, time.time() - t0
@@ -160,52 +242,65 @@ def main():
         for sel in per_pic:
             b = M.make_picture_batch(sel, words_per_lane=wpl,
                                      max_slices=mbh)
-            sl = VP.pack_slice_rows(b, words_window=None)
+            sl = VP.pack_slice_rows(b, words_window=None,
+                                    sort_rows=True)
             assert not sl["overflow"].any()
             sls.append(sl)
             bats.append(b)
-        og = sls[0]["out_groups"]
         Wp = max(sl["words"].shape[1] for sl in sls)
         for sl in sls:                    # common window for stacking
             w = sl["words"]
             if w.shape[1] < Wp:
                 sl["words"] = np.pad(w, ((0, 0), (0, Wp - w.shape[1])))
         skeys = ("words", "start_bits", "rows", "alive", "pic_type",
-                 "full_pel", "r_size")
+                 "full_pel", "r_size", "lane_of_row")
         bkeys = ("intra_q", "non_intra_q", "active")
         stacked = {k: jnp.asarray(np.stack([sl[k] for sl in sls]))
                    for k in skeys}
         stacked.update({k: jnp.asarray(np.stack([b[k] for b in bats]))
                         for k in bkeys})
         interp = platform != "tpu"        # Mosaic only lowers on TPU
+        # two-budget buckets: rows are span-sorted, so the long bucket
+        # absorbs every I slice (content peak ~720 steps +35%) and the
+        # short bucket runs the P slices; the post-scan scatter is
+        # linear in rows x budget, so this halves its cost vs a
+        # uniform I-sized budget (measured 99 -> 55 ms/pic)
+        NS = lanes * mbh
+        long_rows = min(2 * lanes, NS // 2)
 
         @jax.jit
-        def decode_gop(st, frames):
-            def body(frames, xs):
+        def decode_gop(st, frames, ocarry):
+            def body(carry, xs):
+                frames, ocarry = carry
                 coeffs, recs, nfinal, err, _it = \
-                    VP.run_scan_pallas_sliced(
+                    VP.run_scan_pallas_bucketed(
                         *[xs[k] for k in skeys],
                         mb_width=mbw, mb_count=mbw * mbh,
-                        max_steps=1024, out_groups=og,
-                        interpret=interp)
+                        n_lanes=lanes, long_rows=long_rows,
+                        steps_long=1024, steps_short=384,
+                        chunk=128, interpret=interp)
                 frames, p = dense_compose(
                     coeffs, recs, nfinal, xs["intra_q"],
                     xs["non_intra_q"], xs["active"], frames,
                     mb_width=mbw, mb_height=mbh,
                     use_pallas_idct=idct)
-                chk = p["y"].astype(jnp.int32).sum() + err.sum()
-                return frames, chk
-            return jax.lax.scan(body, frames, st)
+                ocarry, ochk = out_tick(p, ocarry)
+                chk = p["y"].astype(jnp.int32).sum() + err.sum() + ochk
+                return (frames, ocarry), chk
+            (frames, ocarry), chk = jax.lax.scan(
+                body, (frames, ocarry), st)
+            return frames, ocarry, chk
 
         def run(reps):
             frames = M.init_frame_state(lanes, mbw * 16, mbh * 16)
-            frames, chk = decode_gop(stacked, frames)
+            frames, oc, chk = decode_gop(stacked, frames, out_init())
             _ = np.asarray(chk)           # compile + warm
             t0 = time.time()
             n = 0
             frames = M.init_frame_state(lanes, mbw * 16, mbh * 16)
+            oc = out_init()
             for _r in range(reps):
-                frames, chk = decode_gop(stacked, frames)
+                frames, oc, chk = decode_gop(stacked, frames, oc)
                 n += args.pictures
             _ = np.asarray(chk)
             return n, time.time() - t0
@@ -268,13 +363,16 @@ def main():
     fps = lanes * n / dt
     streams_per_chip = fps / 30.0 / n_chips
     log(f"{n} pictures x {lanes} lanes in {dt:.2f}s -> {fps:.0f} fps, "
-        f"{streams_per_chip:.1f} rt streams/chip")
+        f"{streams_per_chip:.1f} rt streams/chip "
+        f"(stage={args.stage} phase={args.phase})")
 
     print(json.dumps({
         "metric": "realtime_352x192_mpeg1_streams_per_chip",
         "value": round(streams_per_chip, 2),
         "unit": "30fps streams/chip",
         "vs_baseline": round(streams_per_chip / 1.0, 2),
+        "stage": args.stage,
+        "phase": args.phase,
     }))
 
 

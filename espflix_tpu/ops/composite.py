@@ -45,6 +45,33 @@ def _consts(pal: bool):
     return g, ctu, ctv_even, ctv_odd
 
 
+@functools.cache
+def _dither_planes(h: int, w: int):
+    """Static [2, h, w] dither fields (one per frame parity): the 4x4
+    ordered pattern tiled over the active region, so the per-pixel
+    dither needs no runtime gather (only a 2-way parity select)."""
+    rows = np.arange(h) & 3
+    cols = np.arange(w) & 3
+    out = np.stack([T.DITHER4x4[p * 4 + rows][:, cols]
+                    for p in (0, 1)])
+    return out.astype(np.int32)
+
+
+def _chroma_amp(c):
+    """Closed form of the chroma tables' amplitude term.
+
+    gen_palettes (espflix.cpp:1119-1187) builds each table entry from
+    fn(i) * (128 - c) * (BLACK_LEVEL / 33) rounded half-away-from-zero,
+    where fn is sin/cos sampled at 4 samples per color clock -- i.e.
+    fn(i) in {0, +1, -1}.  So every byte of UV_TAB_U/V/V_NEG is either
+    the carrier bias (2*BLACK_LEVEL) or bias +- this amplitude, pinned
+    to [0, 127].  tests/test_composite.py pins byte equality with the
+    table form for all 256 inputs."""
+    m = (128 - c) * T.BLACK_LEVEL
+    am = jnp.abs(m)
+    return jnp.sign(m) * ((2 * am + 33) // 66)
+
+
 def _line_templates(pal: bool) -> np.ndarray:
     """[4, line_width] uint8: 0=blank(even), 1=blank(odd), 2..: vsync."""
     g = T.Geometry(pal)
@@ -86,16 +113,21 @@ def synthesize_active(y, u, v, frame_parity, *, pal: bool):
 
     y: uint8[N, 192, 352]; u, v: uint8[N, 96, 176];
     frame_parity: int32[N] (temporal dither phase).
+
+    Fully gather-free: the chroma tables collapse to closed-form QAM
+    arithmetic (_chroma_amp), the dither is a static tiled plane with a
+    2-way parity select, chroma row duplication/interpolation is
+    repeat/shift, and the phase-slot picks are interleaves -- pure VPU
+    elementwise math that XLA fuses into a couple of kernels (the table
+    form cost one 256-entry gather per chroma sample).
     """
-    g, ctu_b, ctv_even_b, ctv_odd_b = _consts(pal)
+    g, *_ = _consts(pal)
     N, H, W = y.shape
     rows = jnp.arange(H, dtype=jnp.int32)
-    xs = jnp.arange(W, dtype=jnp.int32)
 
-    dither_tab = jnp.asarray(T.DITHER4x4)             # [8, 4]
-    didx = (frame_parity[:, None] << 2) + (rows[None, :] & 3)
-    drow = dither_tab[didx]                            # [N, H, 4]
-    d = drow[:, :, xs & 3]                             # [N, H, W]
+    d01 = _dither_planes(H, W)
+    d = jnp.where((frame_parity == 1)[:, None, None],
+                  jnp.asarray(d01[1]), jnp.asarray(d01[0]))
 
     P = (y.astype(jnp.int32) + d) & 0xFC
     p0 = P >> 2
@@ -103,30 +135,48 @@ def synthesize_active(y, u, v, frame_parity, *, pal: bool):
                            P[:, :, :-1]], axis=2)
     p0m1 = jnp.concatenate([jnp.zeros((N, H, 1), jnp.int32),
                             p0[:, :, :-1]], axis=2)
+    xs = jnp.arange(W, dtype=jnp.int32)
     sa = jnp.where((xs % 4 == 0)[None, None, :],
                    (p0 + p0m1) >> 1,
                    ((Pm1 >> 1) + (P >> 1)) >> 2)
 
     # chroma rows: raw on even lines, vertically interpolated on odd
-    half = rows >> 1
-    nxt = half + jnp.where(rows == H - 1, 0, 1)
-    nxt = jnp.minimum(nxt, u.shape[1] - 1)
-    u0 = u[:, half].astype(jnp.int32)                  # [N, H, 176]
-    v0 = v[:, half].astype(jnp.int32)
-    u1 = u[:, nxt].astype(jnp.int32)
-    v1 = v[:, nxt].astype(jnp.int32)
+    # (u[:, rows>>1] == repeat x2; the next-row operand shifts up one
+    # chroma row with a clamped tail, matching the min(half+1, 95) clamp)
+    u = u.astype(jnp.int32)
+    v = v.astype(jnp.int32)
+    u0 = jnp.repeat(u, 2, axis=1)                      # [N, H, 176]
+    v0 = jnp.repeat(v, 2, axis=1)
+    u1 = jnp.repeat(jnp.concatenate([u[:, 1:], u[:, -1:]], axis=1),
+                    2, axis=1)
+    v1 = jnp.repeat(jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1),
+                    2, axis=1)
     odd = (rows & 1)[None, :, None] == 1
     ui = jnp.where(odd, (u0 >> 1) + (u1 >> 1), u0)
     vi = jnp.where(odd, (v0 >> 1) + (v1 >> 1), v0)
 
-    cu = jnp.asarray(ctu_b)[ui]                        # [N, H, 176, 4]
-    cv = jnp.where(odd[..., None],
-                   jnp.asarray(ctv_odd_b)[vi],
-                   jnp.asarray(ctv_even_b)[vi])
-    cw = ((cu + cv) & 0xFC) >> 2
+    # closed-form chroma: byte slots of UV_TAB_U are
+    # [bias-ru, bias+ru, bias, bias] and of UV_TAB_V(neg)
+    # [bias, bias, bias-+rv, bias+-rv], each pinned to [0,127]
+    # (bias = 2*BLACK_LEVEL = 48; see _chroma_amp)
+    bias = 2 * T.BLACK_LEVEL
+    ru = _chroma_amp(ui)
+    rv = _chroma_amp(vi)
+    pu_m = jnp.clip(bias - ru, 0, 127)
+    pu_p = jnp.clip(bias + ru, 0, 127)
+    pv_m = jnp.clip(bias - rv, 0, 127)
+    pv_p = jnp.clip(bias + rv, 0, 127)
+    vswitch = odd if pal else jnp.zeros_like(odd)      # PAL V-switch
+    k2v = jnp.where(vswitch, pv_p, pv_m)
+    k3v = jnp.where(vswitch, pv_m, pv_p)
+    cw0 = ((pu_m + bias) & 0xFC) >> 2
+    cw1 = ((pu_p + bias) & 0xFC) >> 2
+    cw2 = ((bias + k2v) & 0xFC) >> 2
+    cw3 = ((bias + k3v) & 0xFC) >> 2
 
-    cxa = cw[:, :, xs >> 1, 3 - (xs & 1)]              # [N, H, W]
-    cxb = cw[:, :, xs >> 1, 1 - (xs & 1)]
+    # phase-slot picks: sample 2x uses slot 3-(x&1), 2x+1 uses 1-(x&1)
+    cxa = jnp.stack([cw3, cw2], axis=-1).reshape(N, H, W)
+    cxb = jnp.stack([cw1, cw0], axis=-1).reshape(N, H, W)
     ta = sa + cxa
     tb = p0 + cxb
     out = jnp.stack([ta, tb], axis=-1).reshape(N, H, 2 * W)

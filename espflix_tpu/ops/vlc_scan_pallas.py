@@ -419,6 +419,75 @@ def run_scan_pallas_sliced(words, start_bits, rows, alive, pic_type,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("mb_width", "mb_count", "n_lanes",
+                              "long_rows", "steps_long", "steps_short",
+                              "chunk", "block_rows", "interpret"))
+def run_scan_pallas_bucketed(words, start_bits, rows, alive, pic_type,
+                             full_pel, r_size, lane_of_row, *,
+                             mb_width: int, mb_count: int, n_lanes: int,
+                             long_rows: int, steps_long: int,
+                             steps_short: int, chunk: int = 256,
+                             block_rows: int = 1024,
+                             interpret: bool = False):
+    """Two-budget scan for span-SORTED rows (pack_slice_rows with
+    sort_rows=True): the first `long_rows` rows (the longest slices --
+    I-picture rows in a mixed-phase fleet) scan with a `steps_long`
+    symbol budget, the rest with `steps_short`.
+
+    Motivation: the post-scan bulk scatter is linear in TOTAL LOG SLOTS
+    (rows x budget) and measured ~8-12ns/element, so giving every row
+    the I-slice budget wastes ~80% of the scatter on trash slots.  Rows
+    whose symbol count exceeds their bucket's budget finish with
+    state != DONE and flag their lane's error (the caller resyncs, same
+    policy as any corrupt lane).
+
+    Returns (coeffs, recs, nfinal, err [n_lanes], iters)."""
+    NS, Wp = words.shape
+    assert Wp % 8 == 0 and 0 < long_rows < NS
+    MB6 = mb_count * 6
+    C1 = mb_count + MB6 + mb_count * 384 + 1
+
+    def half(lo, hi, steps):
+        NSb = hi - lo
+        NSp, NB = _row_geometry(NSb, block_rows)
+        (w, sb, rw, al, pt, fp, rs) = _pad_rows(
+            NSp - NSb, words[lo:hi], start_bits[lo:hi], rows[lo:hi],
+            alive[lo:hi], pic_type[lo:hi], full_pel[lo:hi],
+            r_size[lo:hi])
+        st = VS.initial_state(NSp, sb[:, None], rw[:, None], al, pt,
+                              fp, rs)
+        st["error"] = st["error"].astype(jnp.int32)
+        packed = jnp.stack([st[k].astype(jnp.int32)
+                            for k in STATE_KEYS])
+        ss = sb[None, :].astype(jnp.int32)
+        sr = rw[None, :].astype(jnp.int32)
+        out_state, li, lv, iters = _launch(
+            w.T, packed, ss, sr, mb_width=mb_width, mb_count=mb_count,
+            max_steps=steps, chunk=min(chunk, steps), NB=NB,
+            interpret=interpret)
+        out_state = out_state[:, :NSb]
+        flat = lane_of_row[lo:hi][None, :] * C1 + li[:, :NSb]
+        bad = (out_state[STATE_KEYS.index("error")] != 0) | \
+            (out_state[STATE_KEYS.index("state")] != VS.ST_DONE)
+        return flat.reshape(-1), lv[:, :NSb].reshape(-1), bad, iters
+
+    fl, vl, badl, itl = half(0, long_rows, steps_long)
+    fs, vs, bads, its = half(long_rows, NS, steps_short)
+
+    buf = jnp.zeros((n_lanes * C1,), jnp.int32) \
+        .at[fl].set(vl).at[fs].set(vs)
+    buf = buf.reshape(n_lanes, C1)
+    recs = buf[:, :mb_count]
+    nfinal = buf[:, mb_count:mb_count + MB6]
+    coeffs = buf[:, mb_count + MB6:C1 - 1].astype(jnp.int16)
+
+    bad = jnp.concatenate([badl, bads])
+    err = jnp.zeros((n_lanes,), bool).at[lane_of_row].max(bad)
+    return coeffs, recs, nfinal, err, jnp.maximum(jnp.max(itl),
+                                                  jnp.max(its))
+
+
+@functools.partial(
     jax.jit, static_argnames=("mb_width", "mb_count", "max_steps",
                               "n_lanes", "chunk", "block_rows",
                               "interpret"))

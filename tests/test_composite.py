@@ -219,3 +219,26 @@ def test_silence_pattern():
 
     s = np.asarray(DS.silence(2, 8))
     assert (s == 0xAAAA).all()
+
+
+def test_chroma_closed_form_matches_tables():
+    """The gather-free synthesis path derives chroma bytes with
+    _chroma_amp instead of the 256-entry tables; pin byte equality for
+    every input value against the generated tables (which are
+    themselves verified against the reference's pasted arrays)."""
+    import jax.numpy as jnp
+    from espflix_tpu.ops import composite as C
+    from espflix_tpu.video import tables as T
+
+    c = jnp.arange(256, dtype=jnp.int32)
+    r = np.asarray(C._chroma_amp(c)).astype(np.int64)
+    bias = 2 * T.BLACK_LEVEL
+    pm = np.clip(bias - r, 0, 127)
+    pp = np.clip(bias + r, 0, 127)
+    b = np.full_like(r, bias)
+    want_u = np.stack([pm, pp, b, b], axis=1)
+    want_v = np.stack([b, b, pm, pp], axis=1)
+    want_vn = np.stack([b, b, pp, pm], axis=1)
+    assert np.array_equal(T.table_bytes(T.UV_TAB_U), want_u)
+    assert np.array_equal(T.table_bytes(T.UV_TAB_V), want_v)
+    assert np.array_equal(T.table_bytes(T.UV_TAB_V_NEG), want_vn)
