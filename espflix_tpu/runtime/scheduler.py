@@ -25,6 +25,28 @@ from espflix_tpu.runtime.player import PlayerSession
 
 
 @dataclass
+class PendingTick:
+    """In-flight tick: device work dispatched, host sync deferred.
+
+    Produced by Fleet.tick_submit(); finished by Fleet.tick_collect().
+    Between the two calls the device decodes asynchronously (JAX async
+    dispatch) while the host is free to pump sessions/network for the
+    NEXT tick -- the fleet-level analogue of the reference's 3-stage
+    core pipeline (net pump / decode / ISR, espflix.cpp:655-658).
+    """
+    pics: list
+    pts: np.ndarray
+    pre_errors: np.ndarray
+    presented: object | None         # device arrays (y/u/v) or None
+    info: object | None              # device error flags
+    audio_device: list               # [(members, out_dev, err_dev, ch)]
+    host_pcm: dict
+    audio_lanes: np.ndarray
+    audio_starved: np.ndarray
+    pcm_width: int
+
+
+@dataclass
 class TickResult:
     video_lanes: np.ndarray          # bool[N] lanes with a new frame
     y: np.ndarray
@@ -108,6 +130,26 @@ class Fleet:
 
     # -- one decode tick ------------------------------------------------
     def tick(self, decode_audio: bool = True) -> TickResult:
+        """Synchronous tick: submit + collect back-to-back."""
+        return self.tick_collect(self.tick_submit(decode_audio))
+
+    def run_pipelined(self, n_ticks: int,
+                      decode_audio: bool = True) -> list[TickResult]:
+        """Run n_ticks with host/device overlap: tick t+1's host work
+        (session pump, network reads, batch assembly, dispatch) runs
+        while the device still computes tick t.  Mirrors the
+        reference's pipelined cores (decode on core 0 while core 1
+        pumps the network, espflix.cpp:655-658, 886-1010)."""
+        results = []
+        pend = self.tick_submit(decode_audio)
+        for _ in range(n_ticks - 1):
+            nxt = self.tick_submit(decode_audio)
+            results.append(self.tick_collect(pend))
+            pend = nxt
+        results.append(self.tick_collect(pend))
+        return results
+
+    def tick_submit(self, decode_audio: bool = True) -> PendingTick:
         n = self.n
         pics = [None] * n
         pts = np.full(n, -1, np.int64)
@@ -147,7 +189,7 @@ class Fleet:
             pts[i] = p.pts
 
         active_any = any(p is not None for p in pics)
-        errors = np.zeros(n, bool)
+        presented = info = None
         if active_any and self.parser == "hybrid" and self.mesh is None:
             self.events.log(Ev.DECODE_BATCH,
                             value=int(sum(p is not None for p in pics)))
@@ -160,10 +202,6 @@ class Fleet:
                     M.decode_picture_batch_hybrid(
                         pics, iq, nq, self.frames,
                         mb_width=self.mb_w, mb_height=self.mb_h)
-            y = np.asarray(presented["y"])
-            u = np.asarray(presented["u"])
-            v = np.asarray(presented["v"])
-            errors = np.asarray(info["error"])
         elif active_any and self.parser == "pallas" and self.mesh is None:
             self.events.log(Ev.DECODE_BATCH,
                             value=int(sum(p is not None for p in pics)))
@@ -177,10 +215,6 @@ class Fleet:
                         b, self.frames, mb_width=self.mb_w,
                         mb_height=self.mb_h,
                         interpret=self._pallas_interpret)
-            y = np.asarray(presented["y"])
-            u = np.asarray(presented["u"])
-            v = np.asarray(presented["v"])
-            errors = np.asarray(info["error"])
         elif active_any:
             self.events.log(Ev.DECODE_BATCH,
                             value=int(sum(p is not None for p in pics)))
@@ -200,26 +234,6 @@ class Fleet:
             with self.timers.measure("device_decode"):
                 self.frames, presented, info = self._decode(
                     *args, self.frames)
-            y = np.asarray(presented["y"])
-            u = np.asarray(presented["u"])
-            v = np.asarray(presented["v"])
-            errors = np.asarray(info["error"])
-        else:
-            h, w = self.mb_h * 16, self.mb_w * 16
-            y = np.zeros((n, h, w), np.uint8)
-            u = np.zeros((n, h // 2, w // 2), np.uint8)
-            v = np.zeros((n, h // 2, w // 2), np.uint8)
-
-        video_lanes = np.array([p is not None for p in pics])
-        for i, p in enumerate(pics):
-            if p is not None and self.sessions[i] is not None:
-                self.sessions[i].on_presented(p.pts)
-                if errors[i]:
-                    # contain + recover: re-seek the lane to the next
-                    # random-access point (SURVEY.md 5.3)
-                    self.events.log(Ev.LANE_ERROR, i)
-                    if self.sessions[i].resync():
-                        self.events.log(Ev.LANE_RESYNC, i)
 
         # -- audio ---------------------------------------------------------
         # Lanes group by operating point (frame_size, channels); each
@@ -233,12 +247,12 @@ class Fleet:
         from espflix_tpu.runtime.player import State
         audio_lanes = np.zeros(n, bool)
         audio_starved = np.zeros(n, bool)
-        pcm = None
-        pcm_samples = np.zeros(n, np.int32)
+        audio_device = []
+        host_pcm: dict[int, np.ndarray] = {}
+        pcm_width = 0
         if decode_audio:
             F = self.audio_F
             groups: dict[tuple[int, int], list[tuple[int, list]]] = {}
-            host_pcm: dict[int, np.ndarray] = {}
             for i, s in enumerate(self.sessions):
                 if s is None:
                     continue
@@ -268,10 +282,9 @@ class Fleet:
                     if out:
                         host_pcm[i] = np.concatenate(out)
             if groups or host_pcm:
-                width = max(
+                pcm_width = max(
                     [F * ch * 128 for (_, ch) in groups] +
                     [len(p) for p in host_pcm.values()])
-                pcm = np.zeros((n, width), np.int16)
             for (fs, ch), members in groups.items():
                 arr = np.zeros((n, F, fs), np.uint8)
                 nval = np.zeros(n, np.int32)
@@ -289,18 +302,61 @@ class Fleet:
                             active=jnp.asarray(act),
                             n_valid=jnp.asarray(nval),
                             n_frames=F, channels=ch)
-                outn = np.asarray(out)
-                per = ch * 128
-                for i, fr in members:
-                    k = len(fr) * per
-                    pcm[i, :k] = outn[i, :k]
-                    pcm_samples[i] = k
-                    audio_lanes[i] = True
-            for i, p in host_pcm.items():
-                pcm[i, :len(p)] = p
-                pcm_samples[i] = len(p)
-                audio_lanes[i] = True
+                audio_device.append((members, out, ch))
 
-        errors = errors | pre_errors
-        return TickResult(video_lanes, y, u, v, pts, errors,
-                          audio_lanes, pcm, pcm_samples, audio_starved)
+        return PendingTick(pics, pts, pre_errors, presented, info,
+                           audio_device, host_pcm, audio_lanes,
+                           audio_starved, pcm_width)
+
+    def tick_collect(self, pend: PendingTick) -> TickResult:
+        """Host-sync an in-flight tick and run the control-plane
+        follow-ups (presentation bookkeeping, error resync, PCM merge).
+        """
+        n = self.n
+        pics = pend.pics
+        if pend.presented is not None:
+            with self.timers.measure("host_sync"):
+                y = np.asarray(pend.presented["y"])
+                u = np.asarray(pend.presented["u"])
+                v = np.asarray(pend.presented["v"])
+                errors = np.asarray(pend.info["error"])
+        else:
+            h, w = self.mb_h * 16, self.mb_w * 16
+            y = np.zeros((n, h, w), np.uint8)
+            u = np.zeros((n, h // 2, w // 2), np.uint8)
+            v = np.zeros((n, h // 2, w // 2), np.uint8)
+            errors = np.zeros(n, bool)
+
+        video_lanes = np.array([p is not None for p in pics])
+        for i, p in enumerate(pics):
+            if p is not None and self.sessions[i] is not None:
+                self.sessions[i].on_presented(p.pts)
+                if errors[i]:
+                    # contain + recover: re-seek the lane to the next
+                    # random-access point (SURVEY.md 5.3)
+                    self.events.log(Ev.LANE_ERROR, i)
+                    if self.sessions[i].resync():
+                        self.events.log(Ev.LANE_RESYNC, i)
+
+        audio_lanes = pend.audio_lanes
+        pcm = None
+        pcm_samples = np.zeros(n, np.int32)
+        if pend.pcm_width:
+            pcm = np.zeros((n, pend.pcm_width), np.int16)
+        for members, out, ch in pend.audio_device:
+            outn = np.asarray(out)
+            per = ch * 128
+            for i, fr in members:
+                k = len(fr) * per
+                pcm[i, :k] = outn[i, :k]
+                pcm_samples[i] = k
+                audio_lanes[i] = True
+        for i, p in pend.host_pcm.items():
+            pcm[i, :len(p)] = p
+            pcm_samples[i] = len(p)
+            audio_lanes[i] = True
+
+        errors = errors | pend.pre_errors
+        return TickResult(video_lanes, y, u, v, pend.pts, errors,
+                          audio_lanes, pcm, pcm_samples,
+                          pend.audio_starved)

@@ -278,3 +278,35 @@ def test_fleet_pallas_parser_matches_device(service):
         assert np.array_equal(ya, yb)
         assert np.array_equal(ua, ub)
         assert np.array_equal(va, vb)
+
+
+def test_fleet_pipelined_matches_sync(service):
+    """run_pipelined (submit/collect overlap) must present the same
+    frames/PTS as back-to-back synchronous ticks on identical
+    sessions."""
+
+    def build():
+        fleet = Fleet(2, words_per_lane=8192)
+        for lane, title in enumerate((0, 1)):
+            s = PlayerSession("file://" + service)
+            s.init_service()
+            s.nav(title)
+            s.play_pause()
+            fleet.attach(lane, s)
+        return fleet
+
+    f1, f2 = build(), build()
+    sync = [f1.tick(decode_audio=True) for _ in range(6)]
+    pipe = f2.run_pipelined(6, decode_audio=True)
+    assert len(pipe) == len(sync)
+    for a, b in zip(sync, pipe):
+        assert np.array_equal(a.video_lanes, b.video_lanes)
+        assert np.array_equal(a.pts, b.pts)
+        assert np.array_equal(a.y, b.y)
+        assert np.array_equal(a.u, b.u)
+        assert np.array_equal(a.v, b.v)
+        assert np.array_equal(a.errors, b.errors)
+        assert np.array_equal(a.audio_lanes, b.audio_lanes)
+        assert np.array_equal(a.pcm_samples, b.pcm_samples)
+        if a.pcm is not None:
+            assert np.array_equal(a.pcm, b.pcm)
