@@ -297,7 +297,7 @@ def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
 
 def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
                   frames, *, mb_width: int, mb_height: int,
-                  use_pallas_idct=None):
+                  use_pallas_idct=None, use_pallas_mocomp=None):
     """Shared dense phase: dequant+IDCT + mocomp + per-pixel compose.
 
     Consumes the scanner-format buffers (from the device FSM scan OR the
@@ -329,11 +329,25 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
     ref_v = _take_parity(frames["v"], 1 - parity)
 
     # ---- prediction (skip + inter MBs; zero MV elsewhere is harmless)
-    pred_y = mocomp_ops.predict_plane_mxu(ref_y, mv_h, mv_v, 16)
-    pred_u = mocomp_ops.predict_plane_mxu(ref_u, mv_h >> 1,
-                                             mv_v >> 1, 8)
-    pred_v = mocomp_ops.predict_plane_mxu(ref_v, mv_h >> 1,
-                                             mv_v >> 1, 8)
+    if use_pallas_mocomp is None:
+        use_pallas_mocomp = jax.default_backend() == "tpu"
+    if use_pallas_mocomp:
+        # VMEM-resident roll-based window extraction: bit-identical,
+        # 2.7x the one-hot MXU path at 1024 lanes (ops/mocomp_pallas)
+        from espflix_tpu.ops.mocomp_pallas import predict_plane_pallas
+        interp = jax.default_backend() != "tpu"
+        pred_y = predict_plane_pallas(ref_y, mv_h, mv_v, 16,
+                                      interpret=interp)
+        pred_u = predict_plane_pallas(ref_u, mv_h >> 1, mv_v >> 1, 8,
+                                      interpret=interp)
+        pred_v = predict_plane_pallas(ref_v, mv_h >> 1, mv_v >> 1, 8,
+                                      interpret=interp)
+    else:
+        pred_y = mocomp_ops.predict_plane_mxu(ref_y, mv_h, mv_v, 16)
+        pred_u = mocomp_ops.predict_plane_mxu(ref_u, mv_h >> 1,
+                                              mv_v >> 1, 8)
+        pred_v = mocomp_ops.predict_plane_mxu(ref_v, mv_h >> 1,
+                                              mv_v >> 1, 8)
 
     # ---- residuals
     levels = coeffs.astype(jnp.int32).reshape(N, mb_count, 6, 64)
@@ -398,7 +412,8 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
 
 dense_compose_jit = functools.partial(
     jax.jit, static_argnames=("mb_width", "mb_height",
-                              "use_pallas_idct"))(dense_compose)
+                              "use_pallas_idct",
+                              "use_pallas_mocomp"))(dense_compose)
 
 decode_picture_batch = functools.partial(
     jax.jit, static_argnames=("mb_width", "mb_height", "max_steps",

@@ -63,9 +63,20 @@ def _kernel(mvh_ref, mvv_ref, ref_ref, out_ref, *, S, H, W, WP, mbh,
             # y-tap combine first: the lane roll then touches S rows,
             # not S+1 (and never the unused tail of the T-row window)
             vy = win[0:S, :] + hy * win[1:S + 1, :]
-            vy = pltpu.roll(vy, jnp.where(x0 == 0, 0, WP - x0), 1)
+            if WP == 384:
+                # narrow the (expensive, vreg-count-linear) dynamic
+                # lane roll to the 256-lane span containing the
+                # window: x0 < 128 -> lanes [0,256), else [128,384)
+                # (x0 <= W-S = 336, so x0+S+1 <= 353 < 384; the two
+                # spans cover every case only at this width)
+                lo = x0 < 128
+                w2 = jnp.where(lo, vy[:, 0:256], vy[:, WP - 256:WP])
+                f = x0 - jnp.where(lo, 0, WP - 256)
+                w2 = pltpu.roll(w2, jnp.where(f == 0, 0, 256 - f), 1)
+            else:
+                w2 = pltpu.roll(vy, jnp.where(x0 == 0, 0, WP - x0), 1)
             sh = hx + hy
-            out = (vy[:, 0:S] + hx * vy[:, 1:S + 1] + sh) >> sh
+            out = (w2[:, 0:S] + hx * w2[:, 1:S + 1] + sh) >> sh
             out_ref[0, pl.ds(pl.multiple_of(r * S, 8), S),
                     c * S:(c + 1) * S] = out
         for c in range(mbw):

@@ -1,0 +1,318 @@
+"""Serving integration scenario (BASELINE config 5).
+
+Drives a full fleet of PlayerSessions over HTTP-range streaming --
+the reference's real deployment shape (one HTTP/1.1 Range client per
+stream against a CDN, streamer.cpp:408-496; trick-play/seek via
+video.idx range reads, espflix.cpp:823-848) -- scaled out to N lanes
+on one chip:
+
+  * a local Range-capable HTTP server fronts a generated service dir
+    (manifest.txt + per-title video/fwd/rwd/idx/poster, the exact
+    layout indexer.cpp:332-338 produces);
+  * every lane runs the full control plane: play, pause/resume, 15x
+    fast-forward & rewind with index seeks, +/-30 s skips, menu ->
+    re-nav (espflix.cpp:886-1010 loop semantics);
+  * lane faults are injected (corrupt picture payloads) and must be
+    contained + auto-resynced (SURVEY.md 5.3);
+  * a fleet snapshot is taken mid-run and restored into a SECOND fleet
+    which must resume every title at its saved position (SURVEY.md 5.4);
+  * ticks run through Fleet.run_pipelined (host/device overlap).
+
+Reports sustained decoded frames/s and realtime streams/chip with the
+entire control plane attached.
+
+CLI:  python -m espflix_tpu.tools.serve_scenario --lanes 64 --ticks 90
+The pytest-sized variant lives in tests/test_serve_scenario.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.server
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from espflix_tpu.core.bitio import BitWriter
+from espflix_tpu.models import mpeg1 as M
+from espflix_tpu.runtime.events import Ev
+from espflix_tpu.runtime.player import PlayerSession, State
+from espflix_tpu.runtime.scheduler import Fleet
+from espflix_tpu.tools.indexer import make_service
+
+
+class RangeHandler(http.server.SimpleHTTPRequestHandler):
+    """Range-capable static file handler (S3/CloudFront stand-in)."""
+
+    root = "."
+
+    def translate_path(self, path):
+        path = path.split("?", 1)[0].split("#", 1)[0].lstrip("/")
+        return os.path.join(self.root, path)
+
+    def do_GET(self):
+        path = self.translate_path(self.path)
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            self.send_error(404)
+            return
+        h = self.headers.get("Range")
+        if h and h.startswith("bytes="):
+            lo, _, hi = h[6:].partition("-")
+            lo = int(lo)
+            hi = int(hi) + 1 if hi else len(data)
+            body = data[lo:hi]
+            self.send_response(206)
+            self.send_header("Content-Range",
+                             f"bytes {lo}-{hi - 1}/{len(data)}")
+        else:
+            body = data
+            self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+def start_http_service(root: str):
+    """Serve `root` on an ephemeral port; returns (url, shutdown_fn)."""
+    handler = type("H", (RangeHandler,), {"root": root})
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    return url, httpd.shutdown
+
+
+def corrupt_picture():
+    """A 352x192 I-picture whose first MB hits an invalid MB-type code
+    (same construction as tests/test_fault_injection.py)."""
+    w = BitWriter()
+    w.start_code(0xB3)
+    w.put(352, 12); w.put(192, 12); w.put(1, 4); w.put(5, 4)
+    w.put(2928, 18); w.put(1, 1); w.put(20, 10)
+    w.put(0, 1); w.put(0, 1); w.put(0, 1)
+    w.start_code(0x00)
+    w.put(0, 10); w.put(1, 3); w.put(0xFFFF, 16); w.put(0, 1)
+    w.start_code(0x01)
+    w.put(8, 5); w.put(0, 1)
+    w.put_str("1")
+    w.put(0, 23)
+    w.put(0xFFFF, 16)
+    w.align()
+    w.start_code(0xB7)
+    return M.parse_es(w.tobytes())[1][0]
+
+
+@dataclass
+class ScenarioStats:
+    frames: int = 0
+    audio_lanes: int = 0
+    errors: int = 0
+    resyncs: int = 0
+    actions: dict = field(default_factory=dict)
+    restored: int = 0
+    wall_s: float = 0.0
+    ticks: int = 0
+    lanes: int = 0
+
+    def streams_per_chip(self) -> float:
+        if self.wall_s <= 0:
+            return 0.0
+        return self.frames / self.wall_s / 30.0
+
+
+def generate_service(root: str, titles: list[str], *, seed: int = 0,
+                     n_gops: int = 4, gop: int = 6):
+    """Full A/V service: video GOPs + a 48 kHz mono SBC track (the
+    reference's encode point, indexer.cpp:307: SBC 128-sample frames,
+    one per 240 PTS ticks at 90 kHz)."""
+    from espflix_tpu.tools.sbc_encode import random_frame
+    rng = np.random.default_rng(seed)
+    n_frames = n_gops * gop * 90000 // 30 // 240 + 8
+    audio = [(random_frame(rng, mode=0, bitpool=28), k * 240)
+             for k in range(n_frames)]
+    make_service(root, titles, seed=seed, n_gops=n_gops, gop=gop,
+                 audio_frames=audio)
+
+
+def build_fleet(url: str, lanes: int, titles: int,
+                words_per_lane: int = 8192,
+                audio: bool = True) -> Fleet:
+    fleet = Fleet(lanes, words_per_lane=words_per_lane)
+    for i in range(lanes):
+        s = PlayerSession(url)
+        if not s.init_service():
+            raise RuntimeError("service bootstrap failed")
+        s.nav(i % titles)
+        s.play_pause()
+        fleet.attach(i, s)
+    return fleet
+
+
+def run_scenario(fleet: Fleet, ticks: int, *, seed: int = 0,
+                 action_every: int = 4, faults: int = 2,
+                 decode_audio: bool = True,
+                 snapshot_at: int | None = None):
+    """Drive the fleet through `ticks` pipelined ticks with scripted
+    per-lane control actions and injected faults.
+
+    Returns (stats, snapshot) where snapshot is the fleet snapshot
+    taken at `snapshot_at` (or None).
+    """
+    rng = np.random.default_rng(seed)
+    n = fleet.n
+    stats = ScenarioStats(lanes=n)
+    snap = None
+
+    # schedule fault injections: (tick, lane)
+    fault_plan = {}
+    for k in range(faults):
+        fault_plan[int(rng.integers(2, max(3, ticks // 2)))] = \
+            int(rng.integers(0, n))
+    bad_pic = corrupt_picture()
+
+    def inject(lane):
+        s = fleet.sessions[lane]
+        if s is None or getattr(s, "_tampered", False):
+            return
+        orig = s.next_picture
+
+        def tampered():
+            p = orig()
+            if p is not None and not getattr(s, "_fired", False):
+                s._fired = True
+                bad_pic.pts = p.pts
+                return bad_pic
+            return p
+        s.next_picture = tampered
+        s._tampered = True
+
+    def act(tick):
+        # a slice of lanes takes a random control action
+        k = max(1, n // 8)
+        for lane in rng.choice(n, size=k, replace=False):
+            s = fleet.sessions[int(lane)]
+            if s is None:
+                continue
+            a = rng.integers(0, 6)
+            name = ("play_pause", "ff", "rwd", "skip_fwd", "skip_back",
+                    "menu_nav")[a]
+            stats.actions[name] = stats.actions.get(name, 0) + 1
+            if a == 0:
+                s.play_pause()
+            elif a == 1 and s.state == State.PLAYING:
+                s.fast_forward()
+            elif a == 2 and s.state == State.PLAYING:
+                s.rewind()
+            elif a == 3 and s.state == State.PLAYING:
+                s.skip(30)
+            elif a == 4 and s.state == State.PLAYING:
+                s.skip(-30)
+            elif a == 5:
+                if s.state == State.NAV:
+                    s.nav(int(rng.integers(0, max(1, len(s.manifest)))))
+                    s.play_pause()
+                else:
+                    s.menu()
+
+    t0 = time.time()
+    pend = None
+    for t in range(ticks):
+        if t in fault_plan:
+            inject(fault_plan[t])
+        if action_every and t and t % action_every == 0:
+            act(t)
+        if snapshot_at is not None and t == snapshot_at:
+            snap = fleet.snapshot()
+        nxt = fleet.tick_submit(decode_audio)
+        if pend is not None:
+            r = fleet.tick_collect(pend)
+            stats.frames += int(r.video_lanes.sum())
+            stats.audio_lanes += int(r.audio_lanes.sum())
+            stats.errors += int(r.errors.sum())
+        pend = nxt
+    if pend is not None:
+        r = fleet.tick_collect(pend)
+        stats.frames += int(r.video_lanes.sum())
+        stats.audio_lanes += int(r.audio_lanes.sum())
+        stats.errors += int(r.errors.sum())
+    stats.wall_s = time.time() - t0
+    stats.ticks = ticks
+    names = [e.ev for e in fleet.events.dump(10 ** 6)]
+    stats.resyncs = names.count(Ev.LANE_RESYNC)
+    return stats, snap
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lanes", type=int, default=64)
+    ap.add_argument("--ticks", type=int, default=90)
+    ap.add_argument("--titles", type=int, default=4)
+    ap.add_argument("--gops", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-audio", action="store_true")
+    ap.add_argument("--service", default=None,
+                    help="existing service dir (default: generate)")
+    args = ap.parse_args(argv)
+
+    root = args.service
+    if root is None:
+        root = tempfile.mkdtemp(prefix="espflix_svc_")
+        titles = [f"title{i:02d}" for i in range(args.titles)]
+        print(f"generating service ({args.titles} titles) -> {root}",
+              file=sys.stderr)
+        generate_service(root, titles, seed=args.seed,
+                         n_gops=args.gops)
+    url, shutdown = start_http_service(root)
+    print(f"service at {url}", file=sys.stderr)
+
+    fleet = build_fleet(url, args.lanes, args.titles)
+    half = args.ticks // 2
+    stats, snap = run_scenario(
+        fleet, args.ticks, seed=args.seed,
+        decode_audio=not args.no_audio, snapshot_at=half)
+
+    # snapshot/restore into a second fleet: every playing lane resumes
+    restored = 0
+    if snap is not None:
+        fleet2 = build_fleet(url, args.lanes, args.titles)
+        restored = fleet2.restore(snap)
+        rstats, _ = run_scenario(fleet2, max(4, args.ticks // 8),
+                                 seed=args.seed + 1, faults=0,
+                                 decode_audio=not args.no_audio)
+        restored_ok = rstats.frames > 0
+    else:
+        restored_ok = False
+    shutdown()
+
+    out = {
+        "lanes": args.lanes,
+        "ticks": stats.ticks,
+        "frames": stats.frames,
+        "audio_lane_ticks": stats.audio_lanes,
+        "errors": stats.errors,
+        "resyncs": stats.resyncs,
+        "actions": stats.actions,
+        "snapshot_restored": restored,
+        "restored_decodes": restored_ok,
+        "wall_s": round(stats.wall_s, 2),
+        "frames_per_s": round(stats.frames / max(stats.wall_s, 1e-9), 1),
+        "rt_streams_per_chip": round(stats.streams_per_chip(), 1),
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

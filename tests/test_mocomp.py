@@ -88,3 +88,31 @@ def test_all_four_phases_exercised():
         got = np.asarray(MC.predict_plane_mxu(
             jnp.asarray(ref), jnp.asarray(mv_h), jnp.asarray(mv_v), S))
         assert np.array_equal(got, want), f"phase {ph}"
+
+
+def test_pallas_mocomp_matches_gather_reference():
+    """predict_plane_pallas (roll-based VMEM kernel, interpret mode on
+    CPU) must be bit-identical to predict_plane for in-bounds MVs,
+    both plane sizes, all four half-pel phases."""
+    import jax.numpy as jnp
+
+    from espflix_tpu.ops import mocomp as MC
+    from espflix_tpu.ops.mocomp_pallas import predict_plane_pallas
+
+    rng = np.random.default_rng(5)
+    for (N, H, W, S) in ((2, 64, 128, 16), (2, 32, 64, 8),
+                         (1, 192, 352, 16)):  # WP=384: narrowed-roll path
+        mbh, mbw = H // S, W // S
+        ref = jnp.asarray(rng.integers(0, 249, (N, H, W),
+                                       dtype=np.uint8))
+        bx = np.arange(mbw)[None, None, :] * S
+        by = np.arange(mbh)[None, :, None] * S
+        mh = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                     -2 * bx, 2 * (W - S - bx) - 1).astype(np.int32)
+        mv = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                     -2 * by, 2 * (H - S - by) - 1).astype(np.int32)
+        want = np.asarray(MC.predict_plane(
+            ref, jnp.asarray(mh), jnp.asarray(mv), S))
+        got = np.asarray(predict_plane_pallas(
+            ref, jnp.asarray(mh), jnp.asarray(mv), S, interpret=True))
+        assert np.array_equal(got, want), (N, H, W, S)
