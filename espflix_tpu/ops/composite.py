@@ -183,6 +183,60 @@ def synthesize_active(y, u, v, frame_parity, *, pal: bool):
     return out.astype(jnp.uint8)
 
 
+# ease-in/out scroll animator table (video.cpp:1077), indexed by the
+# per-field countdown |animate_index| - 1; sign selects direction
+EASE = np.array([0, 8, 16, 24, 48, 72, 104, 136,
+                 176, 216, 248, 280, 304, 328, 336, 344], np.int32)
+
+
+def apply_hscroll(y, u, v, y2, u2, v2, hscroll):
+    """Per-lane wraparound blit between two frame buffers.
+
+    The reference's flip animation draws each active line as
+    `blit(f, x=h, w=352-h)` then `blit(f^1, x=0, w=h)` with
+    h = _hscroll (negated h selects the other buffer first,
+    video.cpp:1146-1155).  Batch form: displayed plane = columns
+    [h, 352) of the primary frame followed by columns [0, h) of the
+    secondary.  hscroll: int32[N] in [-352, 352]; 0 = no animation.
+    Chroma scrolls by h>>1 (the reference blit reads chroma at x>>1).
+    """
+    N, H, W = y.shape
+    neg = hscroll < 0
+    h = jnp.where(neg, hscroll + W, hscroll)
+    # negated scroll swaps which buffer leads (video.cpp:1148-1151)
+    ya, yb = jnp.where(neg[:, None, None], y2, y), \
+        jnp.where(neg[:, None, None], y, y2)
+    ua, ub = jnp.where(neg[:, None, None], u2, u), \
+        jnp.where(neg[:, None, None], u, u2)
+    va, vb = jnp.where(neg[:, None, None], v2, v), \
+        jnp.where(neg[:, None, None], v, v2)
+
+    def wrap(a, b, off, w):
+        cols = (jnp.arange(w, dtype=jnp.int32)[None, :]
+                + off[:, None]) % (2 * w)
+        both = jnp.concatenate([a, b], axis=2)         # [N, H, 2w]
+        idx = jnp.broadcast_to(cols[:, None, :], both.shape[:2] + (w,))
+        return jnp.take_along_axis(both, idx, axis=2)
+
+    return (wrap(ya, yb, h, W),
+            wrap(ua, ub, h >> 1, W // 2),
+            wrap(va, vb, h >> 1, W // 2))
+
+
+@functools.partial(jax.jit, static_argnames=("pal",))
+def synthesize_field_scrolled(y, u, v, y2, u2, v2, hscroll,
+                              frame_parity, osd, osd_blend,
+                              osd_progress, *, pal: bool):
+    """synthesize_field over an animated two-buffer wraparound blit.
+
+    Compiled separately from the plain path so steady-state lanes
+    never pay the per-lane scroll gather; the output stage dispatches
+    here only on ticks where some lane is mid-animation."""
+    ye, ue, ve = apply_hscroll(y, u, v, y2, u2, v2, hscroll)
+    return synthesize_field(ye, ue, ve, frame_parity, osd, osd_blend,
+                            osd_progress, pal=pal)
+
+
 @functools.partial(jax.jit, static_argnames=("pal",))
 def synthesize_field(y, u, v, frame_parity, osd, osd_blend, osd_progress,
                      *, pal: bool):

@@ -40,6 +40,50 @@ class OutputStage:
         self.last_seconds = np.full(n_lanes, -1, np.int64)
         self.pdm_state = DS.init_state(n_lanes)
         self.beep_frames = np.zeros(n_lanes, np.int32)
+        # buffer-flip slide animation (video.cpp:936-943, 1077-1088):
+        # per-lane ease counter, current hscroll, and the "other
+        # buffer" snapshot the new frame slides against
+        self.animate_index = np.zeros(n_lanes, np.int32)
+        self.hscroll = np.zeros(n_lanes, np.int32)
+        self._slide = None               # (y, u, v) snapshots
+        self._last = None                # last planes synthesized
+
+    # -- flip animation (video.cpp:1077-1088, 1163-1178) ----------------
+    def start_slide(self, lane: int, direction: int,
+                    prev=None):
+        """Begin the ease-in/out horizontal slide on a buffer flip.
+
+        direction: the reference's flush_picture mode -- 2 slides the
+        new frame in from the left (load_poster dir < 0), 3 from the
+        right (espflix.cpp:1060-1069).  prev: optional (y, u, v) for
+        the outgoing frame; defaults to the last synthesized planes.
+        """
+        if prev is None:
+            prev = self._last
+        if prev is None:
+            return
+        if self._slide is None:
+            self._slide = tuple(np.zeros_like(np.asarray(p))
+                                for p in prev)
+        for buf, p in zip(self._slide, prev):
+            buf[lane] = np.asarray(p)[lane]
+        self.animate_index[lane] = -16 if direction == 2 else 16
+        self._animate_step(lane)         # flip calls animate() once
+
+    def _animate_step(self, lane=None):
+        """One per-field animator update (video.cpp:1078-1088)."""
+        sel = np.zeros(self.n, bool)
+        if lane is None:
+            sel[:] = True
+        else:
+            sel[lane] = True
+        idx = self.animate_index
+        new = np.where(idx < 0, idx + 1, np.where(idx > 0, idx - 1, 0))
+        hs = np.where(new < 0, -C.EASE[-new],
+                      np.where(new > 0, C.EASE[new], 0)).astype(np.int32)
+        hs = np.where(idx == 0, 0, hs)
+        self.animate_index = np.where(sel, new, idx)
+        self.hscroll = np.where(sel, hs, self.hscroll)
 
     def beep(self, lane: int):
         """Queue the 5-frame key-feedback beep (espflix.ino:116-120)."""
@@ -72,14 +116,29 @@ class OutputStage:
     def synthesize(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
         """One field per lane: uint8[N, line_count, line_width]."""
         parity = (self.frame_counter & 1).astype(np.int32)
-        fields = C.synthesize_field(
-            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-            jnp.asarray(parity), jnp.asarray(self.osd),
-            jnp.asarray(self.blend), jnp.asarray(self.progress),
-            pal=self.pal)
+        if (self.hscroll != 0).any():
+            # some lane is mid-slide: the scrolled variant composes a
+            # per-lane wraparound of (current, outgoing) buffers
+            sy, su, sv = self._slide
+            fields = C.synthesize_field_scrolled(
+                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                jnp.asarray(sy), jnp.asarray(su), jnp.asarray(sv),
+                jnp.asarray(self.hscroll), jnp.asarray(parity),
+                jnp.asarray(self.osd), jnp.asarray(self.blend),
+                jnp.asarray(self.progress), pal=self.pal)
+        else:
+            fields = C.synthesize_field(
+                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                jnp.asarray(parity), jnp.asarray(self.osd),
+                jnp.asarray(self.blend), jnp.asarray(self.progress),
+                pal=self.pal)
+        self._last = (y, u, v)
         self.frame_counter += 1
-        # fade countdown (video.cpp:1193-1194)
+        # end-of-field updates: fade countdown + slide animator
+        # (video.cpp:1190-1196)
         self.blend = np.where(self.blend > 0, self.blend - 1, self.blend)
+        if (self.animate_index != 0).any() or (self.hscroll != 0).any():
+            self._animate_step()
         return np.asarray(fields)
 
     def modulate(self, pcm: np.ndarray, starved=None):

@@ -91,8 +91,15 @@ class PlayerSession:
         self.speed = 0
         self.state = State.PLAYING
 
-    def load_poster(self, i: int):
-        """Stream a 1-picture poster TS for the nav screen."""
+    def load_poster(self, i: int, direction: int = 0):
+        """Stream a 1-picture poster TS for the nav screen.
+
+        direction mirrors load_poster(i, dir) -> flush_picture mode
+        (espflix.cpp:1060-1069): 0 = plain flip, <0 = slide in from
+        the left (mode 2), >0 = slide in from the right (mode 3).  The
+        mode is recorded in .poster_slide for the output stage to pick
+        up (OutputStage.start_slide).
+        """
         rc = self.streamer.get(self.folder(i) + "/poster.ts", 0)
         if rc != 0:
             return False
@@ -100,6 +107,8 @@ class PlayerSession:
         self.eos = False
         self.speed = 0
         self.state = State.PLAYING
+        self.poster_slide = 0 if direction == 0 else \
+            (2 if direction < 0 else 3)
         return True
 
     # -- checkpoint (SURVEY.md 5.4: {title, pts, speed} tuples) ---------

@@ -226,64 +226,57 @@ struct Decoder {
         mocomp(ref(2), cur(2), width / 2, x, y, 8, mb_x * 8, mb_y * 8);
     }
 
-    // Fixed-point IDCT, same constants/rounding as player.cpp:922-996.
+    // Fixed-point 8-point IDCT butterfly over one line of the block,
+    // expressed with named DCT-coefficient inputs.  Same Q8 constants
+    // (473 ~ sqrt2*cos(pi/8)<<8, 362 ~ sqrt2<<8, 196 ~ sqrt2*sin(pi/8)
+    // <<8) and rounding as the scaled integer transform the reference
+    // uses (player.cpp:922-996) -- the bit-exactness contract pins the
+    // arithmetic, not the code shape.  `final_pass` applies the
+    // (v + 128) >> 8 output descale of the second (row) pass.
+    static void idct_line(int* p, int stride, bool final_pass) {
+        const int c0 = p[0 * stride], c1 = p[1 * stride];
+        const int c2 = p[2 * stride], c3 = p[3 * stride];
+        const int c4 = p[4 * stride], c5 = p[5 * stride];
+        const int c6 = p[6 * stride], c7 = p[7 * stride];
+
+        // even part
+        const int even26_sum = c2 + c6;
+        const int even26_rot = ((c2 - c6) * 362 + 128) >> 8;
+        const int dc_minus = c0 - c4, dc_plus = c0 + c4;
+        // odd part
+        const int odd17_sum = c1 + c7, odd17_dif = c1 - c7;
+        const int odd35_sum = c3 + c5, odd53_dif = c5 - c3;
+        const int odd_all = odd17_sum + odd35_sum;
+        const int rot1 = ((odd17_dif * 473 - odd53_dif * 196 + 128) >> 8)
+            - odd_all;
+        const int rot2 = rot1 - (((odd17_sum - odd35_sum) * 362 + 128)
+                                 >> 8);
+        const int rot3 = -rot2 - ((odd53_dif * 473 + odd17_dif * 196
+                                   + 128) >> 8);
+
+        const int s0 = dc_plus + even26_sum;   // stage-2 sums
+        const int s1 = dc_minus + (even26_rot - even26_sum);
+        const int s2 = dc_minus - (even26_rot - even26_sum);
+        const int s3 = dc_plus - even26_sum;
+
+        int o[8];
+        o[0] = odd_all + s0;
+        o[1] = rot1 + s1;
+        o[2] = s2 - rot2;
+        o[3] = s3 - rot3;
+        o[4] = s3 + rot3;
+        o[5] = rot2 + s2;
+        o[6] = s1 - rot1;
+        o[7] = s0 - odd_all;
+        for (int k = 0; k < 8; k++)
+            p[k * stride] = final_pass ? ((o[k] + 128) >> 8) : o[k];
+    }
+
     void idct(int* b) {
-        for (int i = 0; i < 8; i++) {
-            int b1 = b[4 * 8 + i];
-            int b3 = b[2 * 8 + i] + b[6 * 8 + i];
-            int b4 = b[5 * 8 + i] - b[3 * 8 + i];
-            int tmp1 = b[1 * 8 + i] + b[7 * 8 + i];
-            int tmp2 = b[3 * 8 + i] + b[5 * 8 + i];
-            int b6 = b[1 * 8 + i] - b[7 * 8 + i];
-            int b7 = tmp1 + tmp2;
-            int m0 = b[0 * 8 + i];
-            int x4 = ((b6 * 473 - b4 * 196 + 128) >> 8) - b7;
-            int x0 = x4 - (((tmp1 - tmp2) * 362 + 128) >> 8);
-            int x1 = m0 - b1;
-            int x2 = (((b[2 * 8 + i] - b[6 * 8 + i]) * 362 + 128) >> 8) - b3;
-            int x3 = m0 + b1;
-            int y3 = x1 + x2;
-            int y4 = x3 + b3;
-            int y5 = x1 - x2;
-            int y6 = x3 - b3;
-            int y7 = -x0 - ((b4 * 473 + b6 * 196 + 128) >> 8);
-            b[0 * 8 + i] = b7 + y4;
-            b[1 * 8 + i] = x4 + y3;
-            b[2 * 8 + i] = y5 - x0;
-            b[3 * 8 + i] = y6 - y7;
-            b[4 * 8 + i] = y6 + y7;
-            b[5 * 8 + i] = x0 + y5;
-            b[6 * 8 + i] = y3 - x4;
-            b[7 * 8 + i] = y4 - b7;
-        }
-        for (int i = 0; i < 64; i += 8) {
-            int b1 = b[4 + i];
-            int b3 = b[2 + i] + b[6 + i];
-            int b4 = b[5 + i] - b[3 + i];
-            int tmp1 = b[1 + i] + b[7 + i];
-            int tmp2 = b[3 + i] + b[5 + i];
-            int b6 = b[1 + i] - b[7 + i];
-            int b7 = tmp1 + tmp2;
-            int m0 = b[0 + i];
-            int x4 = ((b6 * 473 - b4 * 196 + 128) >> 8) - b7;
-            int x0 = x4 - (((tmp1 - tmp2) * 362 + 128) >> 8);
-            int x1 = m0 - b1;
-            int x2 = (((b[2 + i] - b[6 + i]) * 362 + 128) >> 8) - b3;
-            int x3 = m0 + b1;
-            int y3 = x1 + x2;
-            int y4 = x3 + b3;
-            int y5 = x1 - x2;
-            int y6 = x3 - b3;
-            int y7 = -x0 - ((b4 * 473 + b6 * 196 + 128) >> 8);
-            b[0 + i] = (b7 + y4 + 128) >> 8;
-            b[1 + i] = (x4 + y3 + 128) >> 8;
-            b[2 + i] = (y5 - x0 + 128) >> 8;
-            b[3 + i] = (y6 - y7 + 128) >> 8;
-            b[4 + i] = (y6 + y7 + 128) >> 8;
-            b[5 + i] = (x0 + y5 + 128) >> 8;
-            b[6 + i] = (y3 - x4 + 128) >> 8;
-            b[7 + i] = (y4 - b7 + 128) >> 8;
-        }
+        for (int col = 0; col < 8; col++)
+            idct_line(b + col, 8, false);      // columns, scaled
+        for (int row = 0; row < 8; row++)
+            idct_line(b + row * 8, 1, true);   // rows + descale
     }
 
     void block(BitReader& r, int blk, bool intra) {

@@ -111,3 +111,60 @@ def test_pal_output_geometry_and_clock(tmp_path):
     make_service(service, ["one"], seed=9, n_gops=1, gop=3)
     s = PlayerSession("file://" + service, pal=True)
     assert s.clock.div == PAL_DIV
+
+
+def test_slide_animation_sequence_and_blit():
+    """Buffer-flip slide: the ease sequence matches video.cpp:1077-1088
+    (first field at +-344, easing to 0 over 16 fields) and the scrolled
+    field equals synthesizing the numpy wraparound of the two buffers."""
+    import jax.numpy as jnp
+
+    from espflix_tpu.ops import composite as C
+    from espflix_tpu.runtime.output import OutputStage
+
+    rng = np.random.default_rng(3)
+    N, H, W = 2, 192, 352
+    y0 = rng.integers(0, 249, (N, H, W), np.uint8)
+    u0 = rng.integers(0, 249, (N, H // 2, W // 2), np.uint8)
+    v0 = rng.integers(0, 249, (N, H // 2, W // 2), np.uint8)
+    y1 = rng.integers(0, 249, (N, H, W), np.uint8)
+    u1 = rng.integers(0, 249, (N, H // 2, W // 2), np.uint8)
+    v1 = rng.integers(0, 249, (N, H // 2, W // 2), np.uint8)
+
+    out = OutputStage(N)
+    out.synthesize(y0, u0, v0)               # establishes _last
+    out.start_slide(1, direction=3)          # slide from the right
+    assert out.hscroll[1] == 344 and out.hscroll[0] == 0
+
+    seq = []
+    for _ in range(17):
+        h = int(out.hscroll[1])
+        seq.append(h)
+        f = out.synthesize(y1, u1, v1)
+        if h:
+            # lane 1 must equal the plain synthesis of the wrapped
+            # planes; lane 0 (h=0) must equal plain synthesis
+            def wrap(a, b, off, w):
+                cols = (np.arange(w) + off) % (2 * w)
+                return np.concatenate([a, b], axis=-1)[..., cols]
+            ye = y1.copy(); ue = u1.copy(); ve = v1.copy()
+            ye[1] = wrap(y1[1], y0[1], h, W)
+            ue[1] = wrap(u1[1], u0[1], h >> 1, W // 2)
+            ve[1] = wrap(v1[1], v0[1], h >> 1, W // 2)
+            par = ((out.frame_counter - 1) & 1).astype(np.int32)
+            want = np.asarray(C.synthesize_field(
+                jnp.asarray(ye), jnp.asarray(ue), jnp.asarray(ve),
+                jnp.asarray(par), jnp.asarray(out.osd),
+                jnp.asarray(out.blend + 1) * 0, jnp.asarray(out.progress),
+                pal=False))
+            assert np.array_equal(f[1], want[1])
+            assert np.array_equal(f[0], want[0])
+    assert seq[0] == 344 and seq[-1] == 0 and seq[-2] == 0
+    assert all(a >= b for a, b in zip(seq, seq[1:]))
+    assert int(out.animate_index[1]) == 0
+
+    # negative direction mirrors the sequence
+    out2 = OutputStage(N)
+    out2.synthesize(y0, u0, v0)
+    out2.start_slide(0, direction=2)
+    assert out2.hscroll[0] == -344
