@@ -447,8 +447,18 @@ def _decode_sliced_impl(words, start_bits, rows, alive, pic_type,
     return new_frames, presented, info
 
 
+def _quantize_pow2(x: int, lo: int, hi: int) -> int:
+    """Round x up to a power of two, clamped to [lo, hi] (bounds the
+    number of distinct jit shapes the bucketed scan sees)."""
+    p = lo
+    while p < x and p < hi:
+        p *= 2
+    return min(max(p, lo), hi)
+
+
 def decode_picture_batch_sliced(batch: dict, frames, *, mb_width: int,
                                 mb_height: int, max_steps: int = 2048,
+                                steps_short: int = 512,
                                 block_rows: int = 1024,
                                 use_pallas_idct=None,
                                 interpret: bool = False):
@@ -458,19 +468,53 @@ def decode_picture_batch_sliced(batch: dict, frames, *, mb_width: int,
     windows -- vlc_scan_pallas.pack_slice_rows); same outputs as
     decode_picture_batch, bit-exact.  Lanes whose slice span overflows
     the window are reported as errors (callers resync them like any
-    corrupt lane)."""
+    corrupt lane).
+
+    Rows are span-sorted and scanned in TWO symbol-budget buckets (the
+    post-scan scatter is linear in rows x budget): rows whose bit span
+    fits `steps_short` take the short budget -- safe, since one symbol
+    consumes >= 1 bit -- and the rest (I slices, mostly) take
+    `max_steps`.  The split point is quantized to powers of two so the
+    jit cache stays small."""
     from espflix_tpu.ops import vlc_scan_pallas as VP
-    sl = VP.pack_slice_rows(batch)
-    new_frames, presented, info = _decode_sliced_impl(
-        jnp.asarray(sl["words"]), jnp.asarray(sl["start_bits"]),
-        jnp.asarray(sl["rows"]), jnp.asarray(sl["alive"]),
-        jnp.asarray(sl["pic_type"]), jnp.asarray(sl["full_pel"]),
-        jnp.asarray(sl["r_size"]), jnp.asarray(batch["intra_q"]),
-        jnp.asarray(batch["non_intra_q"]), jnp.asarray(batch["active"]),
-        frames, mb_width=mb_width, mb_height=mb_height,
-        max_steps=max_steps, out_groups=sl["out_groups"],
-        block_rows=block_rows, use_pallas_idct=use_pallas_idct,
-        interpret=interpret)
+    sl = VP.pack_slice_rows(batch, sort_rows=True)
+    NS = sl["span"].shape[0]
+    need_long = int((sl["span"] * 32 > steps_short).sum())
+    long_rows = _quantize_pow2(max(need_long, 1), 8, max(NS - 8, 8))
+    if need_long > NS - 8 or NS < 16:
+        # degenerate geometry (tiny fleets / mostly-long rows): uniform
+        # budget path over unsorted rows
+        sl = VP.pack_slice_rows(batch)
+        new_frames, presented, info = _decode_sliced_impl(
+            jnp.asarray(sl["words"]), jnp.asarray(sl["start_bits"]),
+            jnp.asarray(sl["rows"]), jnp.asarray(sl["alive"]),
+            jnp.asarray(sl["pic_type"]), jnp.asarray(sl["full_pel"]),
+            jnp.asarray(sl["r_size"]), jnp.asarray(batch["intra_q"]),
+            jnp.asarray(batch["non_intra_q"]),
+            jnp.asarray(batch["active"]),
+            frames, mb_width=mb_width, mb_height=mb_height,
+            max_steps=max_steps, out_groups=sl["out_groups"],
+            block_rows=block_rows, use_pallas_idct=use_pallas_idct,
+            interpret=interpret)
+    else:
+        coeffs, recs, nfinal, err, iters = VP.run_scan_pallas_bucketed(
+            jnp.asarray(sl["words"]), jnp.asarray(sl["start_bits"]),
+            jnp.asarray(sl["rows"]), jnp.asarray(sl["alive"]),
+            jnp.asarray(sl["pic_type"]), jnp.asarray(sl["full_pel"]),
+            jnp.asarray(sl["r_size"]), jnp.asarray(sl["lane_of_row"]),
+            mb_width=mb_width, mb_count=mb_width * mb_height,
+            n_lanes=len(batch["active"]), long_rows=long_rows,
+            steps_long=max_steps, steps_short=steps_short,
+            chunk=128, block_rows=block_rows, interpret=interpret)
+        new_frames, presented = dense_compose(
+            coeffs, recs, nfinal, jnp.asarray(batch["intra_q"]),
+            jnp.asarray(batch["non_intra_q"]),
+            jnp.asarray(batch["active"]), frames,
+            mb_width=mb_width, mb_height=mb_height,
+            use_pallas_idct=use_pallas_idct)
+        act = jnp.asarray(batch["active"])
+        info = dict(error=err, ok=act & ~err,
+                    iters=jnp.broadcast_to(iters, (len(batch["active"]),)))
     if sl["overflow"].any():
         ov = jnp.asarray(sl["overflow"])
         info = dict(error=info["error"] | ov, ok=info["ok"] & ~ov,

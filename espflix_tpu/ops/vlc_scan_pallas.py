@@ -367,8 +367,11 @@ def pack_slice_rows(batch: dict, words_window: int | None = None,
     if sort_rows:
         order = np.argsort(-(span.reshape(NS) * d["alive"]),
                            kind="stable")
+    d["span"] = (span.reshape(NS) * d["alive"]).astype(np.int32)
+    if sort_rows:
+        order = np.argsort(-d["span"], kind="stable")
         for k in ("words", "start_bits", "rows", "alive", "pic_type",
-                  "full_pel", "r_size", "lane_of_row"):
+                  "full_pel", "r_size", "lane_of_row", "span"):
             d[k] = np.ascontiguousarray(d[k][order])
     return d
 

@@ -149,7 +149,10 @@ class Fleet:
         results.append(self.tick_collect(pend))
         return results
 
-    def tick_submit(self, decode_audio: bool = True) -> PendingTick:
+    def _gather_pictures(self):
+        """One display-tick of host work: advance every session's
+        presentation clock, pull at most one complete picture per lane,
+        and apply the geometry/oversize containment policies."""
         n = self.n
         pics = [None] * n
         pts = np.full(n, -1, np.int64)
@@ -187,6 +190,11 @@ class Fleet:
                 continue
             pics[i] = p
             pts[i] = p.pts
+        return pics, pts, pre_errors
+
+    def tick_submit(self, decode_audio: bool = True) -> PendingTick:
+        n = self.n
+        pics, pts, pre_errors = self._gather_pictures()
 
         active_any = any(p is not None for p in pics)
         presented = info = None
@@ -244,6 +252,18 @@ class Fleet:
         # that PCM is merged into the tick output too.  Playing lanes
         # that underran are reported in audio_starved so the output
         # stage can substitute PDM silence (video.cpp:997-1001).
+        (audio_device, host_pcm, audio_lanes, audio_starved,
+         pcm_width) = self._submit_audio(decode_audio)
+
+        return PendingTick(pics, pts, pre_errors, presented, info,
+                           audio_device, host_pcm, audio_lanes,
+                           audio_starved, pcm_width)
+
+    def _submit_audio(self, decode_audio: bool):
+        """Gather one tick's SBC frames from every lane's ring and
+        dispatch the batched device decode (async); host-only frames
+        and starvation flags are returned alongside."""
+        n = self.n
         from espflix_tpu.runtime.player import State
         audio_lanes = np.zeros(n, bool)
         audio_starved = np.zeros(n, bool)
@@ -304,9 +324,8 @@ class Fleet:
                             n_frames=F, channels=ch)
                 audio_device.append((members, out, ch))
 
-        return PendingTick(pics, pts, pre_errors, presented, info,
-                           audio_device, host_pcm, audio_lanes,
-                           audio_starved, pcm_width)
+        return (audio_device, host_pcm, audio_lanes, audio_starved,
+                pcm_width)
 
     def tick_collect(self, pend: PendingTick) -> TickResult:
         """Host-sync an in-flight tick and run the control-plane
@@ -360,3 +379,183 @@ class Fleet:
         return TickResult(video_lanes, y, u, v, pend.pts, errors,
                           audio_lanes, pcm, pcm_samples,
                           pend.audio_starved)
+
+    # -- chunked decode: K ticks in ONE device dispatch ------------------
+    def run_chunk(self, n_ticks: int,
+                  decode_audio: bool = True) -> list["TickResult"]:
+        """Decode up to one picture per lane for `n_ticks` consecutive
+        ticks inside a single jitted lax.scan (frame state carried on
+        device, one dispatch + one host sync per chunk).
+
+        This amortizes per-picture dispatch overhead the way the bench
+        pipeline does -- the serving-side analogue of the reference
+        decoder's free-running GOP loop (player.cpp:1355-1367).
+        Control-plane effects (presentation bookkeeping, error resync)
+        apply after the chunk, so seek/trick actions gain up to
+        n_ticks of latency; audio still decodes per tick (its batched
+        call is cheap and its ring drains at tick rate).
+
+        Falls back to per-tick dispatch for hybrid/mesh configurations.
+        """
+        if self.mesh is not None or self.parser == "hybrid":
+            return [self.tick(decode_audio) for _ in range(n_ticks)]
+
+        import jax
+        import jax.numpy as jnp
+
+        gathered = []
+        batches = []
+        audio = []
+        for _ in range(n_ticks):
+            pics, pts, pre_errors = self._gather_pictures()
+            gathered.append((pics, pts, pre_errors))
+            with self.timers.measure("batch_assemble"):
+                batches.append(M.make_picture_batch(
+                    pics, words_per_lane=self.words_per_lane,
+                    max_slices=self.mb_h))
+            audio.append(self._submit_audio(decode_audio))
+
+        keys = ("words", "slice_starts", "slice_rows", "n_slices",
+                "pic_type", "full_pel", "r_size", "intra_q",
+                "non_intra_q", "active")
+        stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
+                   for k in keys}
+        self.events.log(Ev.DECODE_BATCH, value=sum(
+            int(b["active"].sum()) for b in batches))
+
+        if self.parser == "pallas":
+            from espflix_tpu.ops import vlc_scan_pallas as VP
+            sls = [VP.pack_slice_rows(b, sort_rows=True)
+                   for b in batches]
+            Wp = max(sl["words"].shape[1] for sl in sls)
+            for sl in sls:
+                w = sl["words"]
+                if w.shape[1] < Wp:
+                    sl["words"] = np.pad(
+                        w, ((0, 0), (0, Wp - w.shape[1])))
+            skeys = ("words", "start_bits", "rows", "alive",
+                     "pic_type", "full_pel", "r_size", "lane_of_row")
+            sstk = {k: jnp.asarray(np.stack([sl[k] for sl in sls]))
+                    for k in skeys}
+            sstk.update({k: stacked[k]
+                         for k in ("intra_q", "non_intra_q", "active")})
+            NS = sls[0]["span"].shape[0]
+            need = max(int((sl["span"] * 32 > 512).sum())
+                       for sl in sls)
+            long_rows = M._quantize_pow2(max(need, 1), 8,
+                                         max(NS - 8, 8))
+            # if even the capped long bucket cannot absorb every long
+            # row (tiny fleets, aligned I phases), give the short
+            # bucket the full budget -- correct, just not cheaper
+            steps_short = 512 if need <= NS - 8 else 2048
+            with self.timers.measure("device_decode"):
+                self.frames, pres, errs = _chunk_decode_pallas(
+                    sstk, self.frames, mb_width=self.mb_w,
+                    mb_height=self.mb_h, n_lanes=self.n,
+                    long_rows=long_rows,
+                    steps_long=2048, steps_short=steps_short,
+                    interpret=self._pallas_interpret)
+            ov = np.stack([sl_ov for sl_ov in
+                           (sl["overflow"] for sl in sls)])
+        else:
+            with self.timers.measure("device_decode"):
+                self.frames, pres, errs = _chunk_decode_device(
+                    stacked, self.frames, mb_width=self.mb_w,
+                    mb_height=self.mb_h,
+                    max_steps=min(self.words_per_lane * 32, 12000))
+            ov = None
+
+        with self.timers.measure("host_sync"):
+            ys = np.asarray(pres["y"])
+            us = np.asarray(pres["u"])
+            vs = np.asarray(pres["v"])
+            errs = np.asarray(errs)
+        if ov is not None:
+            errs = errs | ov
+
+        results = []
+        for t, (pics, pts, pre_errors) in enumerate(gathered):
+            video_lanes = np.array([p is not None for p in pics])
+            errors = errs[t].copy()
+            for i, p in enumerate(pics):
+                if p is not None and self.sessions[i] is not None:
+                    self.sessions[i].on_presented(p.pts)
+                    if errors[i]:
+                        self.events.log(Ev.LANE_ERROR, i)
+                        if self.sessions[i].resync():
+                            self.events.log(Ev.LANE_RESYNC, i)
+            (audio_device, host_pcm, audio_lanes, audio_starved,
+             pcm_width) = audio[t]
+            pcm = None
+            pcm_samples = np.zeros(self.n, np.int32)
+            if pcm_width:
+                pcm = np.zeros((self.n, pcm_width), np.int16)
+            for members, out, ch in audio_device:
+                outn = np.asarray(out)
+                per = ch * 128
+                for i, fr in members:
+                    k = len(fr) * per
+                    pcm[i, :k] = outn[i, :k]
+                    pcm_samples[i] = k
+                    audio_lanes[i] = True
+            for i, p in host_pcm.items():
+                pcm[i, :len(p)] = p
+                pcm_samples[i] = len(p)
+                audio_lanes[i] = True
+            results.append(TickResult(
+                video_lanes, ys[t], us[t], vs[t], pts,
+                errors | pre_errors, audio_lanes, pcm, pcm_samples,
+                audio_starved))
+        return results
+
+
+import functools as _functools
+
+import jax as _jax
+import jax.numpy as _jnp
+
+
+@_functools.partial(_jax.jit, static_argnames=(
+    "mb_width", "mb_height", "max_steps"))
+def _chunk_decode_device(stacked, frames, *, mb_width, mb_height,
+                         max_steps):
+    keys = ("words", "slice_starts", "slice_rows", "n_slices",
+            "pic_type", "full_pel", "r_size", "intra_q",
+            "non_intra_q", "active")
+
+    def body(frames, xs):
+        frames, p, info = M.decode_picture_impl(
+            *[xs[k] for k in keys], frames,
+            mb_width=mb_width, mb_height=mb_height,
+            max_steps=max_steps)
+        return frames, (p, info["error"])
+
+    frames, (pres, errs) = _jax.lax.scan(body, frames, stacked)
+    return frames, pres, errs
+
+
+@_functools.partial(_jax.jit, static_argnames=(
+    "mb_width", "mb_height", "n_lanes", "long_rows", "steps_long",
+    "steps_short", "interpret"))
+def _chunk_decode_pallas(sstk, frames, *, mb_width, mb_height,
+                         n_lanes, long_rows, steps_long, steps_short,
+                         interpret):
+    from espflix_tpu.ops import vlc_scan_pallas as VP
+    skeys = ("words", "start_bits", "rows", "alive", "pic_type",
+             "full_pel", "r_size", "lane_of_row")
+
+    def body(frames, xs):
+        coeffs, recs, nfinal, err, _it = VP.run_scan_pallas_bucketed(
+            *[xs[k] for k in skeys],
+            mb_width=mb_width, mb_count=mb_width * mb_height,
+            n_lanes=n_lanes, long_rows=long_rows,
+            steps_long=steps_long, steps_short=steps_short,
+            chunk=128, interpret=interpret)
+        frames, p = M.dense_compose(
+            coeffs, recs, nfinal, xs["intra_q"], xs["non_intra_q"],
+            xs["active"], frames, mb_width=mb_width,
+            mb_height=mb_height)
+        return frames, (p, err)
+
+    frames, (pres, errs) = _jax.lax.scan(body, frames, sstk)
+    return frames, pres, errs

@@ -310,3 +310,33 @@ def test_fleet_pipelined_matches_sync(service):
         assert np.array_equal(a.pcm_samples, b.pcm_samples)
         if a.pcm is not None:
             assert np.array_equal(a.pcm, b.pcm)
+
+
+@pytest.mark.parametrize("parser", ["device", "pallas"])
+def test_fleet_run_chunk_matches_sync(service, parser):
+    """run_chunk (K ticks in one chained device dispatch) must present
+    the same frames/PTS as back-to-back synchronous ticks on clean
+    streams, for both production parsers."""
+
+    def build():
+        fleet = Fleet(2, words_per_lane=8192, parser=parser)
+        for lane, title in enumerate((0, 1)):
+            s = PlayerSession("file://" + service)
+            s.init_service()
+            s.nav(title)
+            s.play_pause()
+            fleet.attach(lane, s)
+        return fleet
+
+    f1, f2 = build(), build()
+    sync = [f1.tick() for _ in range(6)]
+    chunk = f2.run_chunk(6)
+    assert len(chunk) == 6
+    for a, b in zip(sync, chunk):
+        assert np.array_equal(a.video_lanes, b.video_lanes)
+        assert np.array_equal(a.pts, b.pts)
+        assert np.array_equal(a.y, b.y)
+        assert np.array_equal(a.u, b.u)
+        assert np.array_equal(a.v, b.v)
+        assert np.array_equal(a.errors, b.errors)
+        assert np.array_equal(a.pcm_samples, b.pcm_samples)
