@@ -96,13 +96,19 @@ class Fleet:
             from espflix_tpu.parallel import mesh as pmesh
             self._decode = pmesh.make_sharded_decoder(
                 mesh, mb_width=self.mb_w, mb_height=self.mb_h,
-                max_steps=words_per_lane * 32)
+                max_steps=min(words_per_lane * 32, 12000))
             self.frames = pmesh.shard_lane_tree(mesh, self.frames)
         else:
             import functools
+            # symbol budget: content peaks at ~9k symbols per I picture
+            # at the reference bitrate; the emission log + bulk scatter
+            # scale linearly with this budget (the bench uses the same
+            # cap), and a pathological picture that exceeds it errors +
+            # resyncs like any corrupt lane
             self._decode = functools.partial(
                 M.decode_picture_batch, mb_width=self.mb_w,
-                mb_height=self.mb_h, max_steps=words_per_lane * 32)
+                mb_height=self.mb_h,
+                max_steps=min(words_per_lane * 32, 12000))
         self._probe = self._sbc_probe
 
     @staticmethod
@@ -129,12 +135,15 @@ class Fleet:
         return ok
 
     # -- one decode tick ------------------------------------------------
-    def tick(self, decode_audio: bool = True) -> TickResult:
+    def tick(self, decode_audio: bool = True,
+             fetch_frames: bool = True) -> TickResult:
         """Synchronous tick: submit + collect back-to-back."""
-        return self.tick_collect(self.tick_submit(decode_audio))
+        return self.tick_collect(self.tick_submit(decode_audio),
+                                 fetch_frames=fetch_frames)
 
     def run_pipelined(self, n_ticks: int,
-                      decode_audio: bool = True) -> list[TickResult]:
+                      decode_audio: bool = True,
+                      fetch_frames: bool = True) -> list[TickResult]:
         """Run n_ticks with host/device overlap: tick t+1's host work
         (session pump, network reads, batch assembly, dispatch) runs
         while the device still computes tick t.  Mirrors the
@@ -144,9 +153,10 @@ class Fleet:
         pend = self.tick_submit(decode_audio)
         for _ in range(n_ticks - 1):
             nxt = self.tick_submit(decode_audio)
-            results.append(self.tick_collect(pend))
+            results.append(self.tick_collect(pend,
+                                             fetch_frames=fetch_frames))
             pend = nxt
-        results.append(self.tick_collect(pend))
+        results.append(self.tick_collect(pend, fetch_frames=fetch_frames))
         return results
 
     def _gather_pictures(self):
@@ -327,17 +337,31 @@ class Fleet:
         return (audio_device, host_pcm, audio_lanes, audio_starved,
                 pcm_width)
 
-    def tick_collect(self, pend: PendingTick) -> TickResult:
+    def tick_collect(self, pend: PendingTick,
+                     fetch_frames: bool = True) -> TickResult:
         """Host-sync an in-flight tick and run the control-plane
         follow-ups (presentation bookkeeping, error resync, PCM merge).
+
+        fetch_frames=False leaves y/u/v as DEVICE arrays in the
+        TickResult (np.asarray them on demand): in the serving shape
+        the decoded planes feed the on-device output stage, and only
+        the per-lane control words (pts/errors, a few bytes) need the
+        host -- transferring ~100 KB/lane of planes every tick is pure
+        overhead there (and catastrophically slow over a tunneled
+        device transport).
         """
         n = self.n
         pics = pend.pics
         if pend.presented is not None:
             with self.timers.measure("host_sync"):
-                y = np.asarray(pend.presented["y"])
-                u = np.asarray(pend.presented["u"])
-                v = np.asarray(pend.presented["v"])
+                if fetch_frames:
+                    y = np.asarray(pend.presented["y"])
+                    u = np.asarray(pend.presented["u"])
+                    v = np.asarray(pend.presented["v"])
+                else:
+                    y = pend.presented["y"]
+                    u = pend.presented["u"]
+                    v = pend.presented["v"]
                 errors = np.asarray(pend.info["error"])
         else:
             h, w = self.mb_h * 16, self.mb_w * 16
@@ -382,7 +406,8 @@ class Fleet:
 
     # -- chunked decode: K ticks in ONE device dispatch ------------------
     def run_chunk(self, n_ticks: int,
-                  decode_audio: bool = True) -> list["TickResult"]:
+                  decode_audio: bool = True,
+                  fetch_frames: bool = True) -> list["TickResult"]:
         """Decode up to one picture per lane for `n_ticks` consecutive
         ticks inside a single jitted lax.scan (frame state carried on
         device, one dispatch + one host sync per chunk).
@@ -398,7 +423,8 @@ class Fleet:
         Falls back to per-tick dispatch for hybrid/mesh configurations.
         """
         if self.mesh is not None or self.parser == "hybrid":
-            return [self.tick(decode_audio) for _ in range(n_ticks)]
+            return [self.tick(decode_audio, fetch_frames=fetch_frames)
+                    for _ in range(n_ticks)]
 
         import jax
         import jax.numpy as jnp
@@ -466,9 +492,12 @@ class Fleet:
             ov = None
 
         with self.timers.measure("host_sync"):
-            ys = np.asarray(pres["y"])
-            us = np.asarray(pres["u"])
-            vs = np.asarray(pres["v"])
+            if fetch_frames:
+                ys = np.asarray(pres["y"])
+                us = np.asarray(pres["u"])
+                vs = np.asarray(pres["v"])
+            else:
+                ys, us, vs = pres["y"], pres["u"], pres["v"]
             errs = np.asarray(errs)
         if ov is not None:
             errs = errs | ov

@@ -237,13 +237,15 @@ def run_scenario(fleet: Fleet, ticks: int, *, seed: int = 0,
             snap = fleet.snapshot()
         nxt = fleet.tick_submit(decode_audio)
         if pend is not None:
-            r = fleet.tick_collect(pend)
+            # serving shape: planes stay on device (they feed the
+            # output stage there); only control words reach the host
+            r = fleet.tick_collect(pend, fetch_frames=False)
             stats.frames += int(r.video_lanes.sum())
             stats.audio_lanes += int(r.audio_lanes.sum())
             stats.errors += int(r.errors.sum())
         pend = nxt
     if pend is not None:
-        r = fleet.tick_collect(pend)
+        r = fleet.tick_collect(pend, fetch_frames=False)
         stats.frames += int(r.video_lanes.sum())
         stats.audio_lanes += int(r.audio_lanes.sum())
         stats.errors += int(r.errors.sum())
@@ -264,6 +266,10 @@ def main(argv=None):
     ap.add_argument("--no-audio", action="store_true")
     ap.add_argument("--service", default=None,
                     help="existing service dir (default: generate)")
+    ap.add_argument("--transport", choices=["http", "file"],
+                    default="http",
+                    help="file skips the local HTTP server (isolates "
+                         "fleet cost from serving HTTP on this host)")
     args = ap.parse_args(argv)
 
     root = args.service
@@ -274,7 +280,10 @@ def main(argv=None):
               file=sys.stderr)
         generate_service(root, titles, seed=args.seed,
                          n_gops=args.gops)
-    url, shutdown = start_http_service(root)
+    if args.transport == "http":
+        url, shutdown = start_http_service(root)
+    else:
+        url, shutdown = "file://" + root, (lambda: None)
     print(f"service at {url}", file=sys.stderr)
 
     fleet = build_fleet(url, args.lanes, args.titles)
