@@ -94,6 +94,62 @@ def idct_8x8(b):
     return jnp.swapaxes(b, -1, -2)
 
 
+def _butterfly_parts(c, final):
+    """One 8-point IDCT pass over a list of 8 arrays (exact fixed
+    point, player.cpp:922-996); returns the 8 output arrays unstacked
+    so callers control the output layout."""
+    b1 = c[4]
+    b3 = c[2] + c[6]
+    b4 = c[5] - c[3]
+    tmp1 = c[1] + c[7]
+    tmp2 = c[3] + c[5]
+    b6 = c[1] - c[7]
+    b7 = tmp1 + tmp2
+    m0 = c[0]
+    x4 = ((b6 * 473 - b4 * 196 + 128) >> 8) - b7
+    x0 = x4 - (((tmp1 - tmp2) * 362 + 128) >> 8)
+    x1 = m0 - b1
+    x2 = (((c[2] - c[6]) * 362 + 128) >> 8) - b3
+    x3 = m0 + b1
+    y3 = x1 + x2
+    y4 = x3 + b3
+    y5 = x1 - x2
+    y6 = x3 - b3
+    y7 = -x0 - ((b4 * 473 + b6 * 196 + 128) >> 8)
+    rows = [b7 + y4, x4 + y3, y5 - x0, y6 - y7,
+            y6 + y7, x0 + y5, y3 - x4, y4 - b7]
+    if final:
+        rows = [(r + 128) >> 8 for r in rows]
+    return rows
+
+
+def idct_8x8_flat(b64):
+    """idct_8x8 over int32[..., 64] WITHOUT materializing [..., 8, 8].
+
+    Tiny trailing dims force XLA into heavily padded vreg layouts (an
+    8-wide minor dim fills 8 of 128 lanes); keeping the block flat on a
+    64-wide minor axis and addressing rows/columns as contiguous /
+    strided lane slices measures ~2x the [..., 8, 8] form end-to-end at
+    fleet width.  Bit-identical to idct_8x8; position order is raster
+    (p = 8*row + col) in and out."""
+    c = [b64[..., 8 * i:8 * i + 8] for i in range(8)]
+    rows = _butterfly_parts(c, final=False)         # column pass
+    t = jnp.concatenate(rows, axis=-1)              # [.., 64], p=8r+j
+    c2 = [t[..., j::8] for j in range(8)]
+    o = _butterfly_parts(c2, final=True)            # row pass
+    return jnp.stack(o, axis=-1).reshape(*b64.shape[:-1], 64)
+
+
+def block_residuals_flat(levels64, intra, qscale, qmat, nfinal):
+    """block_residuals with flat [..., 64] output (see idct_8x8_flat)."""
+    b = dequant_levels(levels64, intra, qscale, qmat)
+    full = idct_8x8_flat(b)
+    dc = (b[..., 0] >> 8)[..., None]
+    shortcut = (nfinal == 1)[..., None] & ~intra[..., None]
+    out = jnp.where(shortcut, jnp.broadcast_to(dc, full.shape), full)
+    return jnp.where((nfinal == 0)[..., None], 0, out)
+
+
 def block_residuals(levels64, intra, qscale, qmat, nfinal):
     """levels -> spatial residual int32[..., 8, 8] with exact semantics.
 

@@ -24,3 +24,27 @@ def test_pallas_idct_bit_exact_interpret():
         jnp.asarray(levels), jnp.asarray(intra), jnp.asarray(qscale),
         jnp.asarray(qmat), jnp.asarray(nfinal), interpret=True))
     assert np.array_equal(want, got)
+
+
+def test_flat_idct_and_residuals_bit_exact():
+    """idct_8x8_flat / block_residuals_flat must match the [.., 8, 8]
+    forms bit-exactly (same dequant, rounding, shortcut paths)."""
+    from espflix_tpu.ops import idct as I
+
+    rng = np.random.default_rng(9)
+    B = 257
+    levels = jnp.asarray(rng.integers(-300, 300, (B, 64), np.int32))
+    intra = jnp.asarray(rng.random(B) < 0.5)
+    qs = jnp.asarray(rng.integers(1, 31, B, dtype=np.int32))
+    qmat = jnp.asarray(rng.integers(8, 80, (B, 64), dtype=np.int32))
+    nf = jnp.asarray(rng.integers(0, 64, B, dtype=np.int32))
+
+    b = I.dequant_levels(levels, intra, qs, qmat)
+    want = np.asarray(I.idct_8x8(b.reshape(B, 8, 8))).reshape(B, 64)
+    got = np.asarray(I.idct_8x8_flat(b))
+    assert np.array_equal(got, want)
+
+    wr = np.asarray(I.block_residuals(
+        levels, intra, qs, qmat, nf)).reshape(B, 64)
+    gr = np.asarray(I.block_residuals_flat(levels, intra, qs, qmat, nf))
+    assert np.array_equal(gr, wr)
