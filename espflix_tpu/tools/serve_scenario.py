@@ -163,9 +163,16 @@ def build_fleet(url: str, lanes: int, titles: int,
 def run_scenario(fleet: Fleet, ticks: int, *, seed: int = 0,
                  action_every: int = 4, faults: int = 2,
                  decode_audio: bool = True,
-                 snapshot_at: int | None = None):
+                 snapshot_at: int | None = None,
+                 churn: bool = True):
     """Drive the fleet through `ticks` pipelined ticks with scripted
     per-lane control actions and injected faults.
+
+    churn=True is continuous batching at the session layer: any lane
+    whose title finishes (State.DONE) is immediately re-navigated to a
+    fresh title and resumes playing, so batch occupancy never decays
+    (the serving analogue of slot reuse in LLM batch schedulers; the
+    reference just loops its one stream, espflix.cpp:941-955).
 
     Returns (stats, snapshot) where snapshot is the fleet snapshot
     taken at `snapshot_at` (or None).
@@ -226,9 +233,21 @@ def run_scenario(fleet: Fleet, ticks: int, *, seed: int = 0,
                 else:
                     s.menu()
 
+    def reap_done():
+        for lane, s in enumerate(fleet.sessions):
+            if s is None or s.state != State.DONE:
+                continue
+            s.menu()
+            s.nav(int(rng.integers(0, max(1, len(s.manifest)))))
+            s.play_pause()
+            stats.actions["lane_restart"] = \
+                stats.actions.get("lane_restart", 0) + 1
+
     t0 = time.time()
     pend = None
     for t in range(ticks):
+        if churn:
+            reap_done()
         if t in fault_plan:
             inject(fault_plan[t])
         if action_every and t and t % action_every == 0:

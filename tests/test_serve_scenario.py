@@ -49,10 +49,23 @@ def test_scenario_end_to_end(http_service):
 def test_scenario_pipelined_equals_reported_frames(http_service):
     """run_scenario's pipelined accounting matches a sync rerun."""
     f1 = SS.build_fleet(http_service, 2, 2, words_per_lane=8192)
-    s1, _ = SS.run_scenario(f1, 10, seed=9, faults=0, action_every=0)
+    s1, _ = SS.run_scenario(f1, 10, seed=9, faults=0, action_every=0,
+                            churn=False)
     f2 = SS.build_fleet(http_service, 2, 2, words_per_lane=8192)
     frames = 0
     for _ in range(10):
         r = f2.tick()
         frames += int(r.video_lanes.sum())
     assert s1.frames == frames
+
+
+def test_done_lanes_are_churned_back_in(http_service):
+    """Continuous batching: a lane whose title ends must be re-navved
+    and keep decoding (occupancy never decays)."""
+    fleet = SS.build_fleet(http_service, 2, 2, words_per_lane=8192)
+    stats, _ = SS.run_scenario(fleet, 60, seed=11, faults=0,
+                               action_every=0, churn=True)
+    # titles are 2 GOPs x 6 pics: every lane finishes multiple times
+    assert stats.actions.get("lane_restart", 0) >= 2
+    # and decode kept happening well past the first title's length
+    assert stats.frames > 2 * 24  # more than two title-lengths decoded
