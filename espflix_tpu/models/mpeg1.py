@@ -297,7 +297,8 @@ def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
 
 def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
                   frames, *, mb_width: int, mb_height: int,
-                  use_pallas_idct=None, use_pallas_mocomp=None):
+                  use_pallas_idct=None, use_pallas_mocomp=None,
+                  ref_planes=None, row0_mb: int = 0):
     """Shared dense phase: dequant+IDCT + mocomp + per-pixel compose.
 
     Consumes the scanner-format buffers (from the device FSM scan OR the
@@ -329,25 +330,41 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
     ref_v = _take_parity(frames["v"], 1 - parity)
 
     # ---- prediction (skip + inter MBs; zero MV elsewhere is harmless)
-    if use_pallas_mocomp is None:
-        use_pallas_mocomp = jax.default_backend() == "tpu"
-    if use_pallas_mocomp:
-        # VMEM-resident roll-based window extraction: bit-identical,
-        # 2.7x the one-hot MXU path at 1024 lanes (ops/mocomp_pallas)
-        from espflix_tpu.ops.mocomp_pallas import predict_plane_pallas
-        interp = jax.default_backend() != "tpu"
-        pred_y = predict_plane_pallas(ref_y, mv_h, mv_v, 16,
-                                      interpret=interp)
-        pred_u = predict_plane_pallas(ref_u, mv_h >> 1, mv_v >> 1, 8,
-                                      interpret=interp)
-        pred_v = predict_plane_pallas(ref_v, mv_h >> 1, mv_v >> 1, 8,
-                                      interpret=interp)
+    if ref_planes is not None:
+        # 'space'-sharded caller (parallel/mesh.py): this shard holds
+        # MB rows [row0_mb, row0_mb + mb_height) while prediction may
+        # read anywhere in the MV range, so the FULL reference planes
+        # arrive separately (all-gathered along the space axis) and
+        # mocomp uses the band form.
+        rf_y, rf_u, rf_v = ref_planes
+        pred_y = mocomp_ops.predict_plane_rows(
+            rf_y, mv_h, mv_v, 16, row0_mb)
+        pred_u = mocomp_ops.predict_plane_rows(
+            rf_u, mv_h >> 1, mv_v >> 1, 8, row0_mb)
+        pred_v = mocomp_ops.predict_plane_rows(
+            rf_v, mv_h >> 1, mv_v >> 1, 8, row0_mb)
+        use_pallas_mocomp = False
     else:
-        pred_y = mocomp_ops.predict_plane_mxu(ref_y, mv_h, mv_v, 16)
-        pred_u = mocomp_ops.predict_plane_mxu(ref_u, mv_h >> 1,
-                                              mv_v >> 1, 8)
-        pred_v = mocomp_ops.predict_plane_mxu(ref_v, mv_h >> 1,
-                                              mv_v >> 1, 8)
+        if use_pallas_mocomp is None:
+            use_pallas_mocomp = jax.default_backend() == "tpu"
+        if use_pallas_mocomp:
+            # VMEM-resident roll-based window extraction: bit-identical,
+            # 2.7x the one-hot MXU path at 1024 lanes (ops/mocomp_pallas)
+            from espflix_tpu.ops.mocomp_pallas import \
+                predict_plane_pallas
+            interp = jax.default_backend() != "tpu"
+            pred_y = predict_plane_pallas(ref_y, mv_h, mv_v, 16,
+                                          interpret=interp)
+            pred_u = predict_plane_pallas(ref_u, mv_h >> 1, mv_v >> 1,
+                                          8, interpret=interp)
+            pred_v = predict_plane_pallas(ref_v, mv_h >> 1, mv_v >> 1,
+                                          8, interpret=interp)
+        else:
+            pred_y = mocomp_ops.predict_plane_mxu(ref_y, mv_h, mv_v, 16)
+            pred_u = mocomp_ops.predict_plane_mxu(ref_u, mv_h >> 1,
+                                                  mv_v >> 1, 8)
+            pred_v = mocomp_ops.predict_plane_mxu(ref_v, mv_h >> 1,
+                                                  mv_v >> 1, 8)
 
     # ---- residuals
     levels = coeffs.astype(jnp.int32).reshape(N, mb_count, 6, 64)

@@ -173,3 +173,57 @@ def predict_plane_mxu(ref, mv_h, mv_v, mb_size: int):
         # [N, mbw, S, S] -> [N, S, mbw*S]
         rows_out.append(out.transpose(0, 2, 1, 3).reshape(N, S, mbw * S))
     return jnp.concatenate(rows_out, axis=1).astype(jnp.uint8)
+
+
+def predict_plane_rows(ref_full, mv_h, mv_v, mb_size: int,
+                       row0_mb: int = 0):
+    """predict_plane for a horizontal band of MB rows.
+
+    ref_full: uint8[N, H, W] -- the FULL reference plane (callers on a
+    'space'-sharded mesh all-gather it; MVs may reach anywhere within
+    the MV range, so prediction reads globally while computing
+    locally).  mv_h/mv_v: int32[N, mbh_loc, mbw] for MB rows
+    [row0_mb, row0_mb + mbh_loc).  Returns uint8[N, mbh_loc*S, W]:
+    the predicted band.  Bit-identical to the corresponding rows of
+    predict_plane(ref_full, mv_full, ...).
+    """
+    N, H, W = ref_full.shape
+    mbh_loc, mbw = mv_h.shape[1], mv_h.shape[2]
+    S = mb_size
+    Hl = mbh_loc * S
+
+    iy = jnp.arange(Hl, dtype=jnp.int32)
+    ix = jnp.arange(W, dtype=jnp.int32)
+    mv_h_px = jnp.repeat(jnp.repeat(mv_h, S, axis=1), S, axis=2)
+    mv_v_px = jnp.repeat(jnp.repeat(mv_v, S, axis=1), S, axis=2)
+    base_x = (ix // S) * S * 2
+    base_y = (row0_mb * S + (iy // S) * S) * 2
+    xh = base_x[None, None, :] + mv_h_px
+    yh = base_y[None, :, None] + mv_v_px
+    x0 = (xh >> 1) + (ix[None, None, :] % S)
+    y0 = (yh >> 1) + (iy[None, :, None] % S)
+    hx = (xh & 1) == 1
+    hy = (yh & 1) == 1
+
+    x0c = jnp.clip(x0, 0, W - 1)
+    y0c = jnp.clip(y0, 0, H - 1)
+    x1c = jnp.clip(x0 + 1, 0, W - 1)
+    y1c = jnp.clip(y0 + 1, 0, H - 1)
+
+    flat = ref_full.reshape(N, H * W).astype(jnp.int32)
+
+    def gather(yy, xx):
+        idx = (yy * W + xx).reshape(N, Hl * W)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(N, Hl, W)
+
+    a = gather(y0c, x0c)
+    b = gather(y0c, x1c)
+    c = gather(y1c, x0c)
+    d = gather(y1c, x1c)
+
+    out = jnp.where(
+        ~hx & ~hy, a,
+        jnp.where(hx & ~hy, (a + b + 1) >> 1,
+                  jnp.where(~hx & hy, (a + c + 1) >> 1,
+                            (a + b + c + d + 2) >> 2)))
+    return out.astype(jnp.uint8)

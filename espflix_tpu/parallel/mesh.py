@@ -81,3 +81,98 @@ def gather_metrics(mesh: Mesh, error, iters):
     def reduce(e, i):
         return e.sum(), i.max()
     return reduce(error, iters)
+
+
+# ---------------------------------------------------------------------------
+# TP: the 'space' axis -- intra-frame MB-row sharding of the dense phase
+# ---------------------------------------------------------------------------
+
+def make_space_mesh(streams: int, space: int, devices=None) -> Mesh:
+    """2-D mesh (streams, space): lanes shard over 'streams' (DP),
+    MB rows of each frame shard over 'space' (TP).  For the reference's
+    352x192 geometry one chip per frame is plenty; the space axis is
+    the scale-out story for large-frame configs where one frame's dense
+    phase exceeds a chip."""
+    devices = devices if devices is not None else jax.devices()
+    assert streams * space <= len(devices)
+    devs = np.asarray(devices[:streams * space]).reshape(streams, space)
+    return Mesh(devs, axis_names=("streams", "space"))
+
+
+def make_space_sharded_dense(mesh: Mesh, *, mb_width: int,
+                             mb_height: int):
+    """Jitted dense phase (dequant+IDCT+mocomp+compose) sharded over
+    BOTH lanes ('streams') and MB rows ('space').
+
+    Everything is shard-local except motion compensation's reference
+    reads: an MB's prediction window may land anywhere within the MV
+    range, so the previous frame's planes are all-gathered along
+    'space' (jax.lax.all_gather, tiled) -- the one ICI collective on
+    the data path.  Residuals, compose, and the frame-state update
+    touch only the shard's own row band.  Bit-exact vs the unsharded
+    dense_compose (tests/test_mesh.py).
+
+    Inputs (lane-major, pre-sharded by the caller):
+      coeffs3  int16[N, mbh, mbw*384]   P(streams, space)
+      recs3    int32[N, mbh, mbw]       P(streams, space)
+      nfinal3  int32[N, mbh, mbw*6]     P(streams, space)
+      intra_q / non_intra_q [N, 64]     P(streams)
+      active   bool[N]                  P(streams)
+      frames   y/u/v [N, 2, H(/2), W(/2)] P(streams, None, space, None)
+    Returns (frames, presented) with the same shardings.
+    """
+    import inspect
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    _params = inspect.signature(shard_map).parameters
+    _check = {"check_vma": False} if "check_vma" in _params \
+        else {"check_rep": False}
+
+    import jax.numpy as jnp
+    from jax import lax
+    from espflix_tpu.models import mpeg1 as M
+
+    n_space = mesh.shape["space"]
+    assert mb_height % n_space == 0, \
+        f"mb_height {mb_height} not divisible by space={n_space}"
+    mbh_loc = mb_height // n_space
+    mb_loc = mbh_loc * mb_width
+
+    def body(coeffs3, recs3, nfinal3, intra_q, non_intra_q, active,
+             frames):
+        row0 = lax.axis_index("space") * mbh_loc
+        parity = frames["parity"]
+        ref_y = M._take_parity(frames["y"], 1 - parity)
+        ref_u = M._take_parity(frames["u"], 1 - parity)
+        ref_v = M._take_parity(frames["v"], 1 - parity)
+        # the one data-path collective: full reference planes so MVs
+        # can reach across shard boundaries
+        rf_y = lax.all_gather(ref_y, "space", axis=1, tiled=True)
+        rf_u = lax.all_gather(ref_u, "space", axis=1, tiled=True)
+        rf_v = lax.all_gather(ref_v, "space", axis=1, tiled=True)
+        N = recs3.shape[0]
+        # row0_mb is a traced per-shard scalar; the band mocomp only
+        # uses it arithmetically, so no per-shard specialization needed
+        out_frames, presented = M.dense_compose(
+            coeffs3.reshape(N, mb_loc * 384),
+            recs3.reshape(N, mb_loc),
+            nfinal3.reshape(N, mb_loc * 6),
+            intra_q, non_intra_q, active, frames,
+            mb_width=mb_width, mb_height=mbh_loc,
+            ref_planes=(rf_y, rf_u, rf_v), row0_mb=row0)
+        return out_frames, presented
+
+    ls = P("streams")
+    sp2 = P("streams", "space")
+    pf = P("streams", None, "space", None)
+    frames_spec = dict(y=pf, u=pf, v=pf, parity=ls)
+    pres_spec = dict(y=P("streams", "space", None),
+                     u=P("streams", "space", None),
+                     v=P("streams", "space", None))
+    in_specs = (sp2, sp2, sp2, ls, ls, ls, frames_spec)
+    out_specs = (frames_spec, pres_spec)
+    return jax.jit(shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        **_check))

@@ -61,3 +61,68 @@ def test_sharded_decode_matches_single_shard():
     errs, iters = PM.gather_metrics(mesh, info_s["error"],
                                     info_s["iters"])
     assert int(errs) == 0 and int(iters) > 0
+
+
+def test_space_sharded_dense_bit_exact():
+    """TP 'space' axis: the dense phase sharded over (streams=2,
+    space=4) -- MB rows split across devices, reference planes
+    all-gathered along space -- must produce bit-identical frames and
+    presented planes to the unsharded dense_compose."""
+    import jax
+    import jax.numpy as jnp
+
+    from espflix_tpu.models import mpeg1 as M
+    from espflix_tpu.ops import vlc_scan
+    from espflix_tpu.parallel import mesh as pmesh
+    from espflix_tpu.tools import mpeg1_encode as E
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+
+    rng = np.random.default_rng(21)
+    W, H = 96, 64                      # mbh=4: one MB row per shard
+    lanes = 2
+    es = E.encode_es(E.random_script(rng, n_pictures=3, max_coeffs=6,
+                                     width=W, height=H))
+    seq, pics = M.parse_es(es)
+    mbw, mbh = seq.mb_width, seq.mb_height
+    wpl = max((len(p.payload) + 3) // 4 + 4 for p in pics)
+
+    mesh = pmesh.make_space_mesh(2, 4)
+    sharded = pmesh.make_space_sharded_dense(
+        mesh, mb_width=mbw, mb_height=mbh)
+
+    frames_a = M.init_frame_state(lanes, W, H)
+    frames_b = M.init_frame_state(lanes, W, H)
+    for p in pics:
+        b = M.make_picture_batch([p] * lanes, words_per_lane=wpl,
+                                 max_slices=mbh)
+        st0 = vlc_scan.initial_state(
+            lanes, jnp.asarray(b["slice_starts"]),
+            jnp.asarray(b["slice_rows"]), jnp.asarray(b["n_slices"]),
+            jnp.asarray(b["pic_type"]), jnp.asarray(b["full_pel"]),
+            jnp.asarray(b["r_size"]))
+        coeffs, recs, nfinal, st, _ = vlc_scan.run_scan(
+            jnp.asarray(b["words"]), st0, mbw, mbw * mbh, 4096)
+        assert not np.asarray(st["error"]).any()
+        act = jnp.asarray(b["active"])
+        iq = jnp.asarray(b["intra_q"])
+        nq = jnp.asarray(b["non_intra_q"])
+
+        frames_a, pres_a = M.dense_compose(
+            coeffs, recs, nfinal, iq, nq, act, frames_a,
+            mb_width=mbw, mb_height=mbh, use_pallas_mocomp=False)
+
+        c3 = coeffs.reshape(lanes, mbh, mbw * 384)
+        r3 = recs.reshape(lanes, mbh, mbw)
+        n3 = nfinal.reshape(lanes, mbh, mbw * 6)
+        frames_b, pres_b = sharded(c3, r3, n3, iq, nq, act, frames_b)
+
+        for k in ("y", "u", "v"):
+            assert np.array_equal(np.asarray(pres_a[k]),
+                                  np.asarray(pres_b[k])), k
+            assert np.array_equal(np.asarray(frames_a[k]),
+                                  np.asarray(frames_b[k])), k
+        assert np.array_equal(np.asarray(frames_a["parity"]),
+                              np.asarray(frames_b["parity"]))
