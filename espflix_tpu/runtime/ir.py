@@ -16,6 +16,12 @@ remote produces <100 edges per field -- this is control plane, not data
 plane).  Timing is in scanline ticks exactly like the reference, so all
 protocol thresholds carry over unchanged.
 
+Intended scale: IR is per-viewer input, a few events per second per
+session at most.  The per-lane host cost is O(edges in the field), so
+thousands of lanes with attached remotes stay in control-plane noise
+(lanes without an input device never touch this module); the decode
+data path is unaffected either way.
+
 Every decoder is a small class; `IrInput` fans each event to all enabled
 protocols and polls them once per frame for HID reports, mirroring
 `ir_event`/`get_hid_ir`.
