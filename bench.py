@@ -148,24 +148,21 @@ def main():
         blend = jnp.zeros(lanes, jnp.int32)
         prog = jnp.zeros(lanes, jnp.int32)
         par0 = jnp.zeros(lanes, jnp.int32)
-        par1 = jnp.ones(lanes, jnp.int32)
 
         def init_carry():
             return (dsbc.init_state(lanes), DS.init_state(lanes))
 
         def output_tick(p, carry):
             sbc_hist, ds_state = carry
-            f0 = Co.synthesize_field(p["y"], p["u"], p["v"], par0,
-                                     osd, blend, prog, pal=False)
-            f1 = Co.synthesize_field(p["y"], p["u"], p["v"], par1,
-                                     osd, blend, prog, pal=False)
+            # both fields of the frame pair in one call (shared
+            # chroma QAM; the ISR's 60 fields/s per 30 fps stream)
+            ff = Co.synthesize_field_pair(p["y"], p["u"], p["v"], par0,
+                                          osd, blend, prog, pal=False)
             pcm, sbc_hist, _aerr, _ = dsbc.decode_frames_batched(
                 aud_words, sbc_hist, n_frames=F_A)
             pdm, ds_state = DS.modulate(pcm, ds_state,
                                         n_samples=F_A * 128)
-            chk = (f0.astype(jnp.int32).sum()
-                   + f1.astype(jnp.int32).sum()
-                   + pdm.sum())
+            chk = ff.astype(jnp.int32).sum() + pdm.sum()
             return (sbc_hist, ds_state), chk
         return init_carry, output_tick
 

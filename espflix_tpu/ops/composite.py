@@ -110,6 +110,27 @@ def _templates_cached(pal: bool):
     return _line_templates(pal)
 
 
+def _luma_samples(y, frame_parity):
+    """Dither + luma interpolation: (sa, p0) int16[N, H, W] -- the
+    only parity-DEPENDENT part of active synthesis."""
+    N, H, W = y.shape
+    I16 = jnp.int16
+    d01 = _dither_planes(H, W)
+    d = jnp.where((frame_parity == 1)[:, None, None],
+                  jnp.asarray(d01[1], I16), jnp.asarray(d01[0], I16))
+    P = (y.astype(I16) + d) & 0xFC
+    p0 = P >> 2
+    Pm1 = jnp.concatenate([jnp.zeros((N, H, 1), I16),
+                           P[:, :, :-1]], axis=2)
+    p0m1 = jnp.concatenate([jnp.zeros((N, H, 1), I16),
+                            p0[:, :, :-1]], axis=2)
+    xs = jnp.arange(W, dtype=jnp.int32)
+    sa = jnp.where((xs % 4 == 0)[None, None, :],
+                   (p0 + p0m1) >> 1,
+                   ((Pm1 >> 1) + (P >> 1)) >> 2)
+    return sa, p0
+
+
 def synthesize_active(y, u, v, frame_parity, *, pal: bool):
     """Active-region samples: uint8[N, 192, 704].
 
@@ -123,27 +144,24 @@ def synthesize_active(y, u, v, frame_parity, *, pal: bool):
     elementwise math that XLA fuses into a couple of kernels (the table
     form cost one 256-entry gather per chroma sample).
     """
-    g, *_ = _consts(pal)
+    cxa, cxb = _chroma_samples(u, v, pal=pal)
+    sa, p0 = _luma_samples(y, frame_parity)
     N, H, W = y.shape
+    ta = sa + cxa
+    tb = p0 + cxb
+    out = jnp.stack([ta, tb], axis=-1).reshape(N, H, 2 * W)
+    return out.astype(jnp.uint8)
+
+
+def _chroma_samples(u, v, *, pal: bool):
+    """QAM chroma contributions (cxa, cxb) int16[N, H, W] -- parity-
+    INDEPENDENT, so the two fields of one frame share one evaluation
+    (synthesize_field_pair)."""
+    N, Hc, Wc = u.shape
+    H = Hc * 2
+    W = Wc * 2
     rows = jnp.arange(H, dtype=jnp.int32)
-    I16 = jnp.int16   # every term fits int16; packed 16-bit vregs run
-    # the elementwise chain ~1.5x the int32 form (16.6 -> 11.1 ms at
-    # 1024 lanes), bit-exact
-
-    d01 = _dither_planes(H, W)
-    d = jnp.where((frame_parity == 1)[:, None, None],
-                  jnp.asarray(d01[1], I16), jnp.asarray(d01[0], I16))
-
-    P = (y.astype(I16) + d) & 0xFC
-    p0 = P >> 2
-    Pm1 = jnp.concatenate([jnp.zeros((N, H, 1), I16),
-                           P[:, :, :-1]], axis=2)
-    p0m1 = jnp.concatenate([jnp.zeros((N, H, 1), I16),
-                            p0[:, :, :-1]], axis=2)
-    xs = jnp.arange(W, dtype=jnp.int32)
-    sa = jnp.where((xs % 4 == 0)[None, None, :],
-                   (p0 + p0m1) >> 1,
-                   ((Pm1 >> 1) + (P >> 1)) >> 2)
+    I16 = jnp.int16
 
     # chroma rows: raw on even lines, vertically interpolated on odd
     # (u[:, rows>>1] == repeat x2; the next-row operand shifts up one
@@ -182,10 +200,7 @@ def synthesize_active(y, u, v, frame_parity, *, pal: bool):
     # phase-slot picks: sample 2x uses slot 3-(x&1), 2x+1 uses 1-(x&1)
     cxa = jnp.stack([cw3, cw2], axis=-1).reshape(N, H, W)
     cxb = jnp.stack([cw1, cw0], axis=-1).reshape(N, H, W)
-    ta = sa + cxa
-    tb = p0 + cxb
-    out = jnp.stack([ta, tb], axis=-1).reshape(N, H, 2 * W)
-    return out.astype(jnp.uint8)
+    return cxa, cxb
 
 
 # ease-in/out scroll animator table (video.cpp:1077), indexed by the
@@ -243,13 +258,40 @@ def synthesize_field_scrolled(y, u, v, y2, u2, v2, hscroll,
 
 
 @functools.partial(jax.jit, static_argnames=("pal",))
+def synthesize_field_pair(y, u, v, frame_parity, osd, osd_blend,
+                          osd_progress, *, pal: bool):
+    """BOTH fields of one 30 fps frame: uint8[N, 2, lines, width].
+
+    The reference ISR emits 60 fields/s per frame pair
+    (video.cpp:1122-1198); the fields differ only in the temporal
+    dither phase, so the (parity-independent) chroma QAM chain is
+    evaluated ONCE and only the luma/dither half runs twice -- ~25%
+    cheaper than two synthesize_field calls.  Field 0 uses
+    frame_parity, field 1 the opposite parity.
+    """
+    cxa, cxb = _chroma_samples(u, v, pal=pal)
+    N, H, W = y.shape
+    fields = []
+    for k in range(2):
+        sa, p0 = _luma_samples(y, (frame_parity + k) & 1)
+        active = jnp.stack([sa + cxa, p0 + cxb],
+                           axis=-1).reshape(N, H, 2 * W)             .astype(jnp.uint8)
+        fields.append(synthesize_field(
+            y, u, v, frame_parity, osd, osd_blend, osd_progress,
+            pal=pal, active=active))
+    return jnp.stack(fields, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("pal",))
 def synthesize_field(y, u, v, frame_parity, osd, osd_blend, osd_progress,
-                     *, pal: bool):
+                     *, pal: bool, active=None):
     """Full field: uint8[N, line_count, line_width] DAC samples.
 
     osd: uint8[N, 16, 80] compositing buffer; osd_blend: int32[N]
     (-1 always show, 0 hidden, 1..31 fade, >=32 full); osd_progress:
     int32[N] progress in [0, 240] units (video.cpp:845-887).
+    active: optional precomputed active-region samples
+    (synthesize_field_pair shares chroma between the two fields).
     """
     g, *_ = _consts(pal)
     N = y.shape[0]
@@ -266,7 +308,8 @@ def synthesize_field(y, u, v, frame_parity, osd, osd_blend, osd_progress,
     canvas = jnp.broadcast_to(tmpl[jnp.asarray(tidx)][None],
                               (N, g.line_count, W))
 
-    active = synthesize_active(y, u, v, frame_parity, pal=pal)
+    if active is None:
+        active = synthesize_active(y, u, v, frame_parity, pal=pal)
     x0 = g.active_x0()
     canvas = jax.lax.dynamic_update_slice(
         canvas, active, (0, g.active_top, x0))

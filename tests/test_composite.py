@@ -242,3 +242,30 @@ def test_chroma_closed_form_matches_tables():
     assert np.array_equal(T.table_bytes(T.UV_TAB_U), want_u)
     assert np.array_equal(T.table_bytes(T.UV_TAB_V), want_v)
     assert np.array_equal(T.table_bytes(T.UV_TAB_V_NEG), want_vn)
+
+
+def test_field_pair_matches_two_calls():
+    """synthesize_field_pair (shared chroma) must equal two
+    synthesize_field calls at opposite parities, both standards."""
+    import jax.numpy as jnp
+    from espflix_tpu.ops import composite as C
+
+    rng = np.random.default_rng(8)
+    N = 2
+    y = jnp.asarray(rng.integers(0, 249, (N, 192, 352), np.uint8))
+    u = jnp.asarray(rng.integers(0, 249, (N, 96, 176), np.uint8))
+    v = jnp.asarray(rng.integers(0, 249, (N, 96, 176), np.uint8))
+    osd = jnp.asarray(rng.integers(0, 64, (N, 16, 80), np.uint8))
+    blend = jnp.asarray([0, 40], dtype=jnp.int32)
+    prog = jnp.asarray([0, 120], dtype=jnp.int32)
+    for pal in (False, True):
+        for par in (0, 1):
+            p = jnp.full((N,), par, jnp.int32)
+            pair = np.asarray(C.synthesize_field_pair(
+                y, u, v, p, osd, blend, prog, pal=pal))
+            f0 = np.asarray(C.synthesize_field(
+                y, u, v, p, osd, blend, prog, pal=pal))
+            f1 = np.asarray(C.synthesize_field(
+                y, u, v, 1 - p, osd, blend, prog, pal=pal))
+            assert np.array_equal(pair[:, 0], f0), (pal, par)
+            assert np.array_equal(pair[:, 1], f1), (pal, par)
