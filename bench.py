@@ -24,10 +24,9 @@ at the end (device-only block_until_ready is unreliable through this
 environment's TPU tunnel).
 
 Pipelines:
-  --pipeline auto (default): probe the all-device XLA pipeline and the
-      slice-parallel Pallas scan pipeline with one quick pass each,
-      then measure the faster one (a pallas build/compile failure
-      falls back to device).
+  --pipeline auto (default): use the Pallas pipeline (the production
+      path); a pallas build/compile failure -- or a non-TPU backend --
+      falls back to the all-device XLA pipeline.
   --pipeline device: lane-parallel FSM scan on device + dense
       dequant+IDCT + MXU one-hot mocomp + compose (the BASELINE
       north-star config).
@@ -331,28 +330,26 @@ def main():
                     hybrid=build_hybrid)
 
     if args.pipeline == "auto":
-        # probe device and pallas with one quick pass each, keep the
-        # faster; any pallas failure (compile service, Mosaic) falls
-        # back to device
-        candidates = {}
-        t0 = time.time()
-        candidates["device"] = builders["device"]()
-        n, dt = candidates["device"](1)
-        scores = {"device": dt / n}
-        log(f"probe device: {dt / n * 1000:.0f}ms/call "
-            f"(setup+compile {time.time() - t0:.0f}s)")
-        try:
-            t0 = time.time()
-            candidates["pallas"] = builders["pallas"]()
-            n, dt = candidates["pallas"](1)
-            scores["pallas"] = dt / n
-            log(f"probe pallas: {dt / n * 1000:.0f}ms/call "
-                f"(setup+compile {time.time() - t0:.0f}s)")
-        except Exception as e:      # noqa: BLE001 - fall back to device
-            log(f"pallas unavailable: {type(e).__name__}: {e}")
-        chosen = min(scores, key=scores.get)
-        log(f"auto -> {chosen}")
-        run = candidates[chosen]
+        # pallas is the production pipeline (consistently the faster
+        # of the two across rounds); build it first and keep the XLA
+        # device pipeline purely as the fallback if the Pallas compile
+        # path is unavailable (compile service, Mosaic, non-TPU).
+        # Compiling both just to probe doubled wall time on tunneled
+        # compile services.
+        run = None
+        if platform == "tpu":
+            try:
+                t0 = time.time()
+                run = builders["pallas"]()
+                n, dt = run(1)
+                log(f"auto -> pallas: {dt / n * 1000:.0f}ms/call "
+                    f"(setup+compile {time.time() - t0:.0f}s)")
+            except Exception as e:  # noqa: BLE001 - fall back to device
+                log(f"pallas unavailable: {type(e).__name__}: {e}")
+                run = None
+        if run is None:
+            run = builders["device"]()
+            log("auto -> device")
     else:
         run = builders[args.pipeline]()
 
