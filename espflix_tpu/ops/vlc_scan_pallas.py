@@ -275,7 +275,13 @@ def _row_geometry(NS, block_rows):
     blocks hit the all-done chunk skip immediately, so they cost ~zero
     kernel time."""
     assert block_rows % SUB == 0
-    NS8 = -(-NS // SUB) * SUB
+    # Mosaic requires VMEM slices on the lane dimension be 128-aligned,
+    # and the launch reshapes a block's rows into (SUB, NB/SUB) lane
+    # tiles -- so NB must be at least SUB*128 (LN=128), not just a
+    # multiple of SUB.  Smaller row counts pad up with dead rows (they
+    # start ST_DONE and their grid blocks hit the all-done skip).
+    min_nb = SUB * 128
+    NS8 = -(-NS // min_nb) * min_nb
     if NS8 > block_rows:
         return -(-NS8 // block_rows) * block_rows, block_rows
     return NS8, NS8
