@@ -69,6 +69,16 @@ def main():
                     default="full")
     ap.add_argument("--phase", choices=["mixed", "aligned"],
                     default="mixed")
+    ap.add_argument("--standard", choices=["ntsc", "pal"],
+                    default="ntsc",
+                    help="composite standard for the output stage "
+                    "(the reference treats PAL as an equal citizen, "
+                    "video.cpp:607-644)")
+    ap.add_argument("--scatter", choices=["matmul", "serial"],
+                    default="matmul",
+                    help="emission-log densification: one-hot MXU "
+                    "contractions (ops/scan_dense.py) or the serial "
+                    "XLA bulk scatter")
     ap.add_argument("--idct", choices=["auto", "pallas", "jnp"],
                     default="auto",
                     help="dequant+IDCT kernel (auto: jnp)")
@@ -126,9 +136,10 @@ def main():
     idct = {"auto": None, "pallas": True, "jnp": False}[args.idct]
 
     # ---- output-stage content + step (the --stage full tail) -------------
-    # per tick and lane: two NTSC fields (60 fields/s) + 13 SBC frames
-    # (1664 >= 1600 PCM samples/tick at 48 kHz) + delta-sigma PDM
+    # per tick and lane: two composite fields (60/50 fields/s) + 13 SBC
+    # frames (1664 >= 1600 PCM samples/tick at 48 kHz) + delta-sigma PDM
     F_A = 13
+    PAL = args.standard == "pal"
 
     def build_output_step():
         from espflix_tpu.models import sbc as dsbc
@@ -156,7 +167,7 @@ def main():
             # both fields of the frame pair in one call (shared
             # chroma QAM; the ISR's 60 fields/s per 30 fps stream)
             ff = Co.synthesize_field_pair(p["y"], p["u"], p["v"], par0,
-                                          osd, blend, prog, pal=False)
+                                          osd, blend, prog, pal=PAL)
             pcm, sbc_hist, _aerr, _ = dsbc.decode_frames_batched(
                 aud_words, sbc_hist, n_frames=F_A)
             pdm, ds_state = DS.modulate(pcm, ds_state,
@@ -258,23 +269,40 @@ def main():
         interp = platform != "tpu"        # Mosaic only lowers on TPU
         # two-budget buckets: rows are span-sorted, so the long bucket
         # absorbs every I slice (content peak ~720 steps +35%) and the
-        # short bucket runs the P slices; the post-scan scatter is
-        # linear in rows x budget, so this halves its cost vs a
-        # uniform I-sized budget (measured 99 -> 55 ms/pic)
+        # short bucket runs the P slices; both the emission log and its
+        # densification are linear in rows x budget
         NS = lanes * mbh
         long_rows = min(2 * lanes, NS // 2)
+        if args.scatter == "matmul":
+            from espflix_tpu.ops import scan_dense as SD
+            perms = []
+            for sl in sls:
+                perm, dup = SD.row_perm(sl["lane_of_row"], sl["rows"],
+                                        sl["alive"], lanes, mbh)
+                assert not dup.any()
+                perms.append(perm)
+            stacked["perm"] = jnp.asarray(np.stack(perms))
 
         @jax.jit
         def decode_gop(st, frames, ocarry):
             def body(carry, xs):
                 frames, ocarry = carry
-                coeffs, recs, nfinal, err, _it = \
-                    VP.run_scan_pallas_bucketed(
-                        *[xs[k] for k in skeys],
-                        mb_width=mbw, mb_count=mbw * mbh,
-                        n_lanes=lanes, long_rows=long_rows,
-                        steps_long=1024, steps_short=384,
-                        chunk=128, interpret=interp)
+                if args.scatter == "matmul":
+                    coeffs, recs, nfinal, err, _it = \
+                        VP.run_scan_pallas_bucketed_dense(
+                            *[xs[k] for k in skeys], xs["perm"],
+                            mb_width=mbw, mb_height=mbh,
+                            n_lanes=lanes, long_rows=long_rows,
+                            steps_long=1024, steps_short=384,
+                            chunk=128, interpret=interp)
+                else:
+                    coeffs, recs, nfinal, err, _it = \
+                        VP.run_scan_pallas_bucketed(
+                            *[xs[k] for k in skeys],
+                            mb_width=mbw, mb_count=mbw * mbh,
+                            n_lanes=lanes, long_rows=long_rows,
+                            steps_long=1024, steps_short=384,
+                            chunk=128, interpret=interp)
                 frames, p = dense_compose(
                     coeffs, recs, nfinal, xs["intra_q"],
                     xs["non_intra_q"], xs["active"], frames,
@@ -329,6 +357,12 @@ def main():
     builders = dict(device=build_device, pallas=build_pallas,
                     hybrid=build_hybrid)
 
+    # pipeline attribution: the emitted JSON records what actually ran
+    # (and why, if auto fell back) so a silent Mosaic regression can
+    # never masquerade as a mere perf delta.  An explicit --pipeline
+    # choice fails LOUDLY on any build/compile error.
+    pipeline_used = args.pipeline
+    fallback_reason = None
     if args.pipeline == "auto":
         # pallas is the production pipeline (consistently the faster
         # of the two across rounds); build it first and keep the XLA
@@ -342,13 +376,18 @@ def main():
                 t0 = time.time()
                 run = builders["pallas"]()
                 n, dt = run(1)
+                pipeline_used = "pallas"
                 log(f"auto -> pallas: {dt / n * 1000:.0f}ms/call "
                     f"(setup+compile {time.time() - t0:.0f}s)")
             except Exception as e:  # noqa: BLE001 - fall back to device
-                log(f"pallas unavailable: {type(e).__name__}: {e}")
+                fallback_reason = f"pallas: {type(e).__name__}: {e}"
+                log(f"pallas unavailable: {fallback_reason}")
                 run = None
+        else:
+            fallback_reason = f"platform={platform} (no Mosaic)"
         if run is None:
             run = builders["device"]()
+            pipeline_used = "device"
             log("auto -> device")
     else:
         run = builders[args.pipeline]()
@@ -367,6 +406,10 @@ def main():
         "vs_baseline": round(streams_per_chip / 1.0, 2),
         "stage": args.stage,
         "phase": args.phase,
+        "standard": args.standard,
+        "pipeline": pipeline_used,
+        "scatter": args.scatter,
+        "fallback_reason": fallback_reason,
     }))
 
 

@@ -489,6 +489,7 @@ def decode_picture_batch_sliced(batch: dict, frames, *, mb_width: int,
                                 steps_short: int = 512,
                                 block_rows: int = 1024,
                                 use_pallas_idct=None,
+                                scatter: str = "matmul",
                                 interpret: bool = False):
     """Decode via the slice-parallel Pallas scan kernel.
 
@@ -525,15 +526,42 @@ def decode_picture_batch_sliced(batch: dict, frames, *, mb_width: int,
             block_rows=block_rows, use_pallas_idct=use_pallas_idct,
             interpret=interpret)
     else:
-        coeffs, recs, nfinal, err, iters = VP.run_scan_pallas_bucketed(
-            jnp.asarray(sl["words"]), jnp.asarray(sl["start_bits"]),
-            jnp.asarray(sl["rows"]), jnp.asarray(sl["alive"]),
-            jnp.asarray(sl["pic_type"]), jnp.asarray(sl["full_pel"]),
-            jnp.asarray(sl["r_size"]), jnp.asarray(sl["lane_of_row"]),
-            mb_width=mb_width, mb_count=mb_width * mb_height,
-            n_lanes=len(batch["active"]), long_rows=long_rows,
-            steps_long=max_steps, steps_short=steps_short,
-            chunk=128, block_rows=block_rows, interpret=interpret)
+        if scatter == "matmul":
+            from espflix_tpu.ops import scan_dense as SD
+            n_lanes = len(batch["active"])
+            perm, dup = SD.row_perm(sl["lane_of_row"], sl["rows"],
+                                    sl["alive"], n_lanes, mb_height)
+            coeffs, recs, nfinal, err, iters = \
+                VP.run_scan_pallas_bucketed_dense(
+                    jnp.asarray(sl["words"]),
+                    jnp.asarray(sl["start_bits"]),
+                    jnp.asarray(sl["rows"]), jnp.asarray(sl["alive"]),
+                    jnp.asarray(sl["pic_type"]),
+                    jnp.asarray(sl["full_pel"]),
+                    jnp.asarray(sl["r_size"]),
+                    jnp.asarray(sl["lane_of_row"]), jnp.asarray(perm),
+                    mb_width=mb_width, mb_height=mb_height,
+                    n_lanes=n_lanes, long_rows=long_rows,
+                    steps_long=max_steps, steps_short=steps_short,
+                    chunk=128, block_rows=block_rows,
+                    interpret=interpret)
+            if dup.any():
+                err = err | jnp.asarray(dup)
+        else:
+            coeffs, recs, nfinal, err, iters = \
+                VP.run_scan_pallas_bucketed(
+                    jnp.asarray(sl["words"]),
+                    jnp.asarray(sl["start_bits"]),
+                    jnp.asarray(sl["rows"]), jnp.asarray(sl["alive"]),
+                    jnp.asarray(sl["pic_type"]),
+                    jnp.asarray(sl["full_pel"]),
+                    jnp.asarray(sl["r_size"]),
+                    jnp.asarray(sl["lane_of_row"]),
+                    mb_width=mb_width, mb_count=mb_width * mb_height,
+                    n_lanes=len(batch["active"]), long_rows=long_rows,
+                    steps_long=max_steps, steps_short=steps_short,
+                    chunk=128, block_rows=block_rows,
+                    interpret=interpret)
         new_frames, presented = dense_compose(
             coeffs, recs, nfinal, jnp.asarray(batch["intra_q"]),
             jnp.asarray(batch["non_intra_q"]),

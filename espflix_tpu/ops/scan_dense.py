@@ -1,0 +1,184 @@
+"""Matmul scatter: emission logs -> dense decode buffers on the MXU.
+
+The FSM scan (ops/vlc_scan*.py) emits one (flat_index, value) pair per
+lane per step into a [T, NS] log; the dense phase wants lane-major
+dense buffers (coeffs [N, MB*384], recs [N, MB], nfinal [N, MB*6]).
+Round 2 built them with one bulk XLA scatter -- which lowers to a
+serial per-element loop on TPU (~7 ns/slot) and at ~6M log slots was
+~40 ms of the 123 ms tick, the single largest stage (docs/PERF.md).
+
+This module replaces the scatter with dense MXU algebra.  Key fact:
+each scan row is ONE SLICE, and a slice owns one macroblock row
+(mb_width MBs -- the reference's first-MB quirk pins slices to their
+row, player.cpp:1266 via vlc_scan's eff_inc==1).  So each row's
+emissions target a SMALL dense window (mb_width * (6*64 coeff + rec +
+6 nfinal) slots), and a scatter into a small window factorizes into
+two one-hot contractions:
+
+    out[tile, pos] = sum_t  [tile == tile_t] * [pos == pos_t] * val_t
+                   = M @ P,   M[tile,t] 0/1,  P[t,pos] = onehot*val
+
+with tile = local_mb*6+blk (coeffs) or local_mb (rec/nfinal aux) and
+pos = coefficient position 0..63 (coeffs) or a slot in an 8-wide aux
+row.  Both matmuls run on the MXU; f32 with HIGHEST precision is
+EXACT here (0/1 splits exactly into bf16 passes; values stay under
+2^17 per channel -- rec's packed 31-bit word rides as lo/hi 16-bit
+halves).  Per-row outputs then land in lane-major order with ONE
+row-permutation gather (the permutation is known on the host from
+pack_slice_rows' sort order).
+
+Row targets are unique on well-formed streams (coefficient positions
+within a block are distinct zigzag slots; one record per MB; one
+nfinal per coded block), so the sum reproduces the scatter's last-
+write-wins exactly.  Emissions OUTSIDE a row's window (slices that
+legally walk past their MB row, or corrupt address runs) are dropped
+and flag the lane's error, which callers already treat as
+resync-the-lane (same containment as a budget overflow).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def row_perm(lane_of_row: np.ndarray, rows: np.ndarray,
+             alive: np.ndarray, n_lanes: int, mb_height: int):
+    """Host-side: (lane, mb_row) -> scan-row index permutation.
+
+    Returns (perm int32[n_lanes*mb_height], dup bool[n_lanes]): perm
+    maps each lane's MB row to the scan row that decodes it, or to
+    NS (a guaranteed-zero pad row appended by the caller) when no scan
+    row covers it.  dup flags lanes where two alive scan rows claim
+    the same MB row (outside the supported profile; the lane errors).
+    """
+    NS = len(lane_of_row)
+    perm = np.full(n_lanes * mb_height, NS, np.int32)
+    dup = np.zeros(n_lanes, bool)
+    r = np.asarray(rows)
+    l = np.asarray(lane_of_row)
+    a = np.asarray(alive).astype(bool)
+    ok = a & (r >= 0) & (r < mb_height)
+    slots = l[ok].astype(np.int64) * mb_height + r[ok]
+    idxs = np.nonzero(ok)[0].astype(np.int32)
+    # first claim wins; any further claim on a slot flags its lane
+    # (two slices covering one MB row is outside the supported
+    # profile -- the reference's first-MB quirk garbles it too)
+    uniq, first, counts = np.unique(slots, return_index=True,
+                                    return_counts=True)
+    perm[uniq] = idxs[first]
+    if (counts > 1).any():
+        dup[(uniq[counts > 1] // mb_height).astype(np.int64)] = True
+    return perm, dup
+
+
+def _decode_slots(liT, rowbase_mb, mb_width: int, mb_count: int):
+    """Elementwise decode of flat log indices -> (row-local tile ids,
+    positions, masks).  liT [R, T] int32; rowbase_mb [R] int32."""
+    MB6 = mb_count * 6
+    base_c = mb_count + MB6
+    TRASH = base_c + mb_count * 384
+    rb = rowbase_mb[:, None]
+
+    is_coef = (liT >= base_c) & (liT < TRASH)
+    idx2 = liT - base_c
+    mbg = idx2 // 384
+    r384 = idx2 - mbg * 384
+    mbl = mbg - rb
+    tile_c = mbl * 6 + (r384 >> 6)
+    ok_c = is_coef & (mbl >= 0) & (mbl < mb_width)
+    pos_c = r384 & 63
+
+    is_nfin = (liT >= mb_count) & (liT < base_c)
+    idxn = liT - mb_count
+    mbn = idxn // 6
+    slot_n = idxn - mbn * 6
+    mbln = mbn - rb
+    ok_n = is_nfin & (mbln >= 0) & (mbln < mb_width)
+
+    is_rec = (liT >= 0) & (liT < mb_count)
+    mblr = liT - rb
+    ok_r = is_rec & (mblr >= 0) & (mblr < mb_width)
+
+    tile_a = jnp.where(is_rec, mblr, mbln)
+    ok_a = ok_r | ok_n
+    real = liT < TRASH
+    dropped = real & ~(ok_c | ok_a)
+    return (tile_c, pos_c, ok_c, tile_a, slot_n, ok_r, ok_n, ok_a,
+            dropped)
+
+
+def log_to_dense_rows(log_idx, log_val, rowbase_mb, *, mb_width: int,
+                      mb_count: int):
+    """[T, R] logs -> per-row dense windows via two one-hot matmuls.
+
+    Returns (coef_rows int16[R, mb_width*6*64],
+             aux_rows int32[R, mb_width, 8],  (cols 0-5 nfinal,
+                                               col 6 rec lo, 7 rec hi)
+             dropped bool[R]).
+    """
+    liT = log_idx.T
+    lvT = log_val.T
+    R, T = liT.shape
+    TC = mb_width * 6
+
+    (tile_c, pos_c, ok_c, tile_a, slot_n, ok_r, ok_n, ok_a,
+     dropped) = _decode_slots(liT, rowbase_mb, mb_width, mb_count)
+
+    f = jnp.float32
+    val_f = lvT.astype(f)
+    # ---- coefficient window: [R, TC, T] @ [R, T, 64] ----------------
+    iota_tc = jnp.arange(TC, dtype=jnp.int32)
+    Mc = ((tile_c[:, None, :] == iota_tc[None, :, None]) &
+          ok_c[:, None, :]).astype(f)
+    iota64 = jnp.arange(64, dtype=jnp.int32)
+    Pc = jnp.where((pos_c[:, :, None] == iota64[None, None, :]) &
+                   ok_c[:, :, None], val_f[:, :, None], 0.0)
+    out_c = jax.lax.dot_general(
+        Mc, Pc, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)          # [R, TC, 64]
+    coef = out_c.astype(jnp.int32).astype(jnp.int16).reshape(R, TC * 64)
+
+    # ---- aux window: rec (lo/hi 16-bit halves) + nfinal -------------
+    iota_a = jnp.arange(mb_width, dtype=jnp.int32)
+    Ma = ((tile_a[:, None, :] == iota_a[None, :, None]) &
+          ok_a[:, None, :]).astype(f)
+    lo = (lvT & 0xFFFF).astype(f)
+    hi = ((lvT >> 16) & 0x7FFF).astype(f)
+    cols = []
+    for s in range(6):
+        cols.append(jnp.where(ok_n & (slot_n == s), val_f, 0.0))
+    cols.append(jnp.where(ok_r, lo, 0.0))
+    cols.append(jnp.where(ok_r, hi, 0.0))
+    Pa = jnp.stack(cols, axis=2)                      # [R, T, 8]
+    out_a = jax.lax.dot_general(
+        Ma, Pa, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)          # [R, mbw, 8]
+    aux = out_a.astype(jnp.int32)
+
+    return coef, aux, dropped.any(axis=1)
+
+
+def assemble_dense(coef_rows, aux_rows, perm, *, n_lanes: int,
+                   mb_width: int, mb_height: int):
+    """Per-row windows -> lane-major dense buffers via one gather.
+
+    coef_rows [NS, mbw*384] int16 and aux_rows [NS, mbw, 8] int32 are
+    in scan-row order; perm [n_lanes*mb_height] selects the scan row
+    for each (lane, mb_row) slot, with NS meaning "no row" (a zero pad
+    row is appended here).  Returns (coeffs, recs, nfinal) in the
+    scatter path's exact layout.
+    """
+    mb_count = mb_width * mb_height
+    cz = jnp.zeros((1,) + coef_rows.shape[1:], coef_rows.dtype)
+    az = jnp.zeros((1,) + aux_rows.shape[1:], aux_rows.dtype)
+    coef_p = jnp.concatenate([coef_rows, cz], axis=0)
+    aux_p = jnp.concatenate([aux_rows, az], axis=0)
+    coeffs = jnp.take(coef_p, perm, axis=0).reshape(
+        n_lanes, mb_count * 384)
+    aux = jnp.take(aux_p, perm, axis=0).reshape(
+        n_lanes, mb_count, 8)
+    recs = aux[:, :, 6] | (aux[:, :, 7] << 16)
+    nfinal = aux[:, :, 0:6].reshape(n_lanes, mb_count * 6)
+    return coeffs, recs, nfinal

@@ -497,6 +497,73 @@ def run_scan_pallas_bucketed(words, start_bits, rows, alive, pic_type,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("mb_width", "mb_height", "n_lanes",
+                              "long_rows", "steps_long", "steps_short",
+                              "chunk", "block_rows", "interpret"))
+def run_scan_pallas_bucketed_dense(
+        words, start_bits, rows, alive, pic_type, full_pel, r_size,
+        lane_of_row, perm, *, mb_width: int, mb_height: int,
+        n_lanes: int, long_rows: int, steps_long: int,
+        steps_short: int, chunk: int = 128, block_rows: int = 1024,
+        interpret: bool = False):
+    """Two-budget scan + MATMUL scatter (ops/scan_dense.py).
+
+    Same inputs as run_scan_pallas_bucketed plus `perm` (int32
+    [n_lanes*mb_height] from scan_dense.row_perm, mapping each lane's
+    MB row to its scan-row index in the span-sorted order).  The
+    emission logs never see the serial XLA scatter: each bucket's
+    [T, R] log factorizes per row into two one-hot MXU contractions
+    over its slice's MB-row window, and one permutation gather lands
+    the rows lane-major.  Bit-exact vs the scatter on well-formed
+    streams; slices that escape their MB row flag the lane error
+    (callers resync, same policy as a budget overflow)."""
+    from espflix_tpu.ops import scan_dense as SD
+    NS, Wp = words.shape
+    assert Wp % 8 == 0 and 0 < long_rows < NS
+    mb_count = mb_width * mb_height
+
+    def half(lo, hi, steps):
+        NSb = hi - lo
+        NSp, NB = _row_geometry(NSb, block_rows)
+        (w, sb, rw, al, pt, fp, rs) = _pad_rows(
+            NSp - NSb, words[lo:hi], start_bits[lo:hi], rows[lo:hi],
+            alive[lo:hi], pic_type[lo:hi], full_pel[lo:hi],
+            r_size[lo:hi])
+        st = VS.initial_state(NSp, sb[:, None], rw[:, None], al, pt,
+                              fp, rs)
+        st["error"] = st["error"].astype(jnp.int32)
+        packed = jnp.stack([st[k].astype(jnp.int32)
+                            for k in STATE_KEYS])
+        ss = sb[None, :].astype(jnp.int32)
+        sr = rw[None, :].astype(jnp.int32)
+        out_state, li, lv, iters = _launch(
+            w.T, packed, ss, sr, mb_width=mb_width, mb_count=mb_count,
+            max_steps=steps, chunk=min(chunk, steps), NB=NB,
+            interpret=interpret)
+        out_state = out_state[:, :NSb]
+        coef, aux, dropped = SD.log_to_dense_rows(
+            li[:, :NSb], lv[:, :NSb],
+            rows[lo:hi] * mb_width, mb_width=mb_width,
+            mb_count=mb_count)
+        bad = (out_state[STATE_KEYS.index("error")] != 0) | \
+            (out_state[STATE_KEYS.index("state")] != VS.ST_DONE) | \
+            dropped
+        return coef, aux, bad, iters
+
+    cl, al_, badl, itl = half(0, long_rows, steps_long)
+    cs, as_, bads, its = half(long_rows, NS, steps_short)
+    coef_rows = jnp.concatenate([cl, cs], axis=0)
+    aux_rows = jnp.concatenate([al_, as_], axis=0)
+    coeffs, recs, nfinal = SD.assemble_dense(
+        coef_rows, aux_rows, perm, n_lanes=n_lanes,
+        mb_width=mb_width, mb_height=mb_height)
+    bad = jnp.concatenate([badl, bads])
+    err = jnp.zeros((n_lanes,), bool).at[lane_of_row].max(bad)
+    return coeffs, recs, nfinal, err, jnp.maximum(jnp.max(itl),
+                                                  jnp.max(its))
+
+
+@functools.partial(
     jax.jit, static_argnames=("mb_width", "mb_count", "max_steps",
                               "n_lanes", "chunk", "block_rows",
                               "interpret"))

@@ -39,6 +39,7 @@ class Ev(IntEnum):
     LANE_GEOMETRY = 23      # picture geometry != fleet geometry
     LANE_OVERSIZE = 24      # picture payload exceeds words_per_lane
     AUDIO_STARVED = 25      # playing lane underran its SBC ring
+    AUDIO_ERROR = 26        # SBC decode anomaly (video.cpp:1013-1014)
 
 
 @dataclass

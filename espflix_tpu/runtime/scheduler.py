@@ -60,12 +60,16 @@ class TickResult:
     audio_starved: np.ndarray | None = None  # bool[N] playing lanes that
     # underran their SBC ring this tick; the output stage substitutes
     # PDM silence for them (video.cpp:997-1001)
+    audio_errors: np.ndarray | None = None  # bool[N] lanes whose SBC
+    # decode flagged an anomaly this tick (the reference reports every
+    # one, video.cpp:1013-1014)
 
 
 class Fleet:
     def __init__(self, n_lanes: int, width: int = 352, height: int = 192,
                  words_per_lane: int = 16384, mesh=None,
-                 audio_frames_per_tick: int = 4,
+                 audio_frames_per_tick: int | None = None,
+                 tick_rate: float = 30.0,
                  parser: str = "device"):
         """parser: 'device' (all-device FSM scan, the north-star
         config), 'pallas' (the slice-parallel VMEM-resident Pallas scan
@@ -76,6 +80,13 @@ class Fleet:
         self.width, self.height = width, height
         self.mb_w, self.mb_h = (width + 15) >> 4, (height + 15) >> 4
         self.words_per_lane = words_per_lane
+        # real-time audio provisioning: the reference's audio thread is
+        # paced by the 48 kHz DMA clock (video.cpp:990-1004); at
+        # tick_rate display ticks/s each lane must drain
+        # 48000 / 128 / tick_rate SBC frames per tick (13 at 30 fps)
+        # or the ring backs up and starves
+        if audio_frames_per_tick is None:
+            audio_frames_per_tick = -(-48000 // (128 * int(tick_rate)))
         self.audio_F = audio_frames_per_tick
         self.sessions: list[PlayerSession | None] = [None] * n_lanes
         self.events = EventLog()
@@ -332,7 +343,7 @@ class Fleet:
                             active=jnp.asarray(act),
                             n_valid=jnp.asarray(nval),
                             n_frames=F, channels=ch)
-                audio_device.append((members, out, ch))
+                audio_device.append((members, out, err, ch))
 
         return (audio_device, host_pcm, audio_lanes, audio_starved,
                 pcm_width)
@@ -382,18 +393,25 @@ class Fleet:
                         self.events.log(Ev.LANE_RESYNC, i)
 
         audio_lanes = pend.audio_lanes
+        audio_errors = np.zeros(n, bool)
         pcm = None
         pcm_samples = np.zeros(n, np.int32)
         if pend.pcm_width:
             pcm = np.zeros((n, pend.pcm_width), np.int16)
-        for members, out, ch in pend.audio_device:
+        for members, out, err_dev, ch in pend.audio_device:
             outn = np.asarray(out)
+            errn = np.asarray(err_dev)
+            if errn.ndim > 1:     # per-frame flags -> per-lane any
+                errn = errn.any(axis=tuple(range(1, errn.ndim)))
             per = ch * 128
             for i, fr in members:
                 k = len(fr) * per
                 pcm[i, :k] = outn[i, :k]
                 pcm_samples[i] = k
                 audio_lanes[i] = True
+                if errn[i]:
+                    audio_errors[i] = True
+                    self.events.log(Ev.AUDIO_ERROR, i)
         for i, p in pend.host_pcm.items():
             pcm[i, :len(p)] = p
             pcm_samples[i] = len(p)
@@ -402,7 +420,7 @@ class Fleet:
         errors = errors | pend.pre_errors
         return TickResult(video_lanes, y, u, v, pend.pts, errors,
                           audio_lanes, pcm, pcm_samples,
-                          pend.audio_starved)
+                          pend.audio_starved, audio_errors)
 
     # -- chunked decode: K ticks in ONE device dispatch ------------------
     def run_chunk(self, n_ticks: int,
@@ -515,18 +533,25 @@ class Fleet:
                             self.events.log(Ev.LANE_RESYNC, i)
             (audio_device, host_pcm, audio_lanes, audio_starved,
              pcm_width) = audio[t]
+            audio_errors = np.zeros(self.n, bool)
             pcm = None
             pcm_samples = np.zeros(self.n, np.int32)
             if pcm_width:
                 pcm = np.zeros((self.n, pcm_width), np.int16)
-            for members, out, ch in audio_device:
+            for members, out, err_dev, ch in audio_device:
                 outn = np.asarray(out)
+                errn = np.asarray(err_dev)
+                if errn.ndim > 1:
+                    errn = errn.any(axis=tuple(range(1, errn.ndim)))
                 per = ch * 128
                 for i, fr in members:
                     k = len(fr) * per
                     pcm[i, :k] = outn[i, :k]
                     pcm_samples[i] = k
                     audio_lanes[i] = True
+                    if errn[i]:
+                        audio_errors[i] = True
+                        self.events.log(Ev.AUDIO_ERROR, i)
             for i, p in host_pcm.items():
                 pcm[i, :len(p)] = p
                 pcm_samples[i] = len(p)
@@ -534,7 +559,7 @@ class Fleet:
             results.append(TickResult(
                 video_lanes, ys[t], us[t], vs[t], pts,
                 errors | pre_errors, audio_lanes, pcm, pcm_samples,
-                audio_starved))
+                audio_starved, audio_errors))
         return results
 
 

@@ -206,3 +206,54 @@ def test_starved_audio_lane_gets_pdm_silence(tmp_path):
                        starved=np.array([True]))
     assert (pdm == DS.SILENCE_WORD).all()
     assert np.array_equal(np.asarray(out.pdm_state), st_before)
+
+
+def test_corrupt_audio_frame_flags_audio_error(tmp_path):
+    """A corrupt SBC frame in a lane's ring surfaces as
+    TickResult.audio_errors + an AUDIO_ERROR event -- the reference
+    reports every SBC anomaly (video.cpp:1013-1014)."""
+    from espflix_tpu.runtime.player import PlayerSession
+    from espflix_tpu.runtime.scheduler import Fleet
+    from espflix_tpu.tools.indexer import make_service
+    from espflix_tpu.tools.sbc_encode import random_frame
+
+    rng = np.random.default_rng(11)
+    audio = [(random_frame(rng, mode=0, bitpool=28), k * 240)
+             for k in range(60)]
+    service = str(tmp_path / "svc")
+    make_service(service, ["one"], seed=11, n_gops=2, gop=4,
+                 audio_frames=audio)
+    s = PlayerSession("file://" + service)
+    assert s.init_service()
+    s.nav(0)
+    s.play_pause()
+    fleet = Fleet(1, words_per_lane=8192, audio_frames_per_tick=4)
+    fleet.attach(0, s)
+    for _ in range(30):
+        r = fleet.tick()
+        if r.audio_lanes[0]:
+            break
+    assert r.audio_lanes[0], "audio never discovered"
+    # corrupt the next queued frame's HEADER (break the 0x9C syncword:
+    # the device decoder flags header anomalies per frame, mirroring
+    # the reference's sbc anomaly checks)
+    ring = s.feed.audio
+    fs = ring.frame_size
+    assert fs and len(ring.buf) >= fs, "ring unexpectedly empty"
+    ring.buf[0] = 0x00
+    r = fleet.tick()
+    assert r.audio_errors is not None and r.audio_errors[0], \
+        "corrupt SBC frame not reported"
+    names = [e.ev for e in fleet.events.dump(10 ** 6)]
+    assert Ev.AUDIO_ERROR in names
+
+
+def test_fleet_audio_default_is_realtime():
+    """audio_frames_per_tick defaults to >= 48kHz real time at the
+    tick rate (13 frames at 30 ticks/s; the reference's audio thread
+    is paced by the DMA clock, video.cpp:990-1004)."""
+    from espflix_tpu.runtime.scheduler import Fleet
+    assert Fleet(1, words_per_lane=64).audio_F == 13
+    assert Fleet(1, words_per_lane=64, tick_rate=25.0).audio_F == 15
+    assert Fleet(1, words_per_lane=64,
+                 audio_frames_per_tick=4).audio_F == 4

@@ -131,3 +131,63 @@ def test_sorted_rows_match_xla():
         for name, x, y in zip(("coeffs", "recs", "nfinal"),
                               o[:3], w[:3]):
             assert np.array_equal(np.asarray(x), np.asarray(y)), name
+
+
+def test_bucketed_dense_matmul_matches_xla():
+    """Matmul scatter (ops/scan_dense.py): the two-budget scan with
+    one-hot MXU contractions + permutation gather reproduces the XLA
+    scanner's dense buffers bit-exactly on a mixed I/P batch."""
+    from espflix_tpu.ops import scan_dense as SD
+    rng = np.random.default_rng(1000)
+    seq, pics = M.parse_es(
+        E.encode_es(realistic_gop_script(rng, n_pictures=4)))
+    mbw, mbh = seq.mb_width, seq.mb_height
+    n = 32
+    batch_pics = [pics[i % len(pics)] for i in range(n)]
+    wpl = max((len(p.payload) + 3) // 4 + 4 for p in pics)
+    b = M.make_picture_batch(batch_pics, words_per_lane=wpl,
+                             max_slices=mbh)
+    sl = VP.pack_slice_rows(b, sort_rows=True)
+    assert not sl["overflow"].any()
+    perm, dup = SD.row_perm(sl["lane_of_row"], sl["rows"],
+                            sl["alive"], n, mbh)
+    assert not dup.any()
+    o = VP.run_scan_pallas_bucketed_dense(
+        *[jnp.asarray(sl[k]) for k in (
+            "words", "start_bits", "rows", "alive", "pic_type",
+            "full_pel", "r_size", "lane_of_row")],
+        jnp.asarray(perm), mb_width=mbw, mb_height=mbh, n_lanes=n,
+        long_rows=128, steps_long=1024, steps_short=384,
+        block_rows=256, interpret=True)
+    w = xla_scan(b, mbw, mbh, 1024 * mbh)
+    for name, x, y in zip(("coeffs", "recs", "nfinal"), o[:3], w[:3]):
+        assert np.array_equal(np.asarray(x), np.asarray(y)), name
+    assert not np.asarray(o[3]).any()
+
+
+def test_decode_sliced_matmul_scatter_planes_match():
+    """decode_picture_batch_sliced(scatter='matmul') produces the same
+    presented planes as the serial-scatter path over a short GOP."""
+    rng = np.random.default_rng(41)
+    seq, pics = M.parse_es(
+        E.encode_es(realistic_gop_script(rng, n_pictures=3)))
+    mbw, mbh = seq.mb_width, seq.mb_height
+    n = 32
+    wpl = max((len(p.payload) + 3) // 4 + 4 for p in pics)
+    outs = {}
+    for mode in ("serial", "matmul"):
+        frames = M.init_frame_state(n, mbw * 16, mbh * 16)
+        pres = []
+        for p in pics:
+            b = M.make_picture_batch([p] * n, words_per_lane=wpl,
+                                     max_slices=mbh)
+            frames, pr, info = M.decode_picture_batch_sliced(
+                b, frames, mb_width=mbw, mb_height=mbh,
+                max_steps=1024, steps_short=384, block_rows=256,
+                scatter=mode, interpret=True)
+            assert not np.asarray(info["error"]).any()
+            pres.append({k: np.asarray(v) for k, v in pr.items()})
+        outs[mode] = pres
+    for a, bq in zip(outs["serial"], outs["matmul"]):
+        for k in ("y", "u", "v"):
+            assert np.array_equal(a[k], bq[k]), k
