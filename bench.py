@@ -240,7 +240,99 @@ def main():
             return n, time.time() - t0
         return run
 
+    def build_chain():
+        """--stage full production path: the SAME jitted chunk the
+        Fleet serves with (runtime/chain.py run_full_chunk) -- decode
+        + both composite fields + SBC + PDM in one lax.scan, with the
+        bench's synthetic OSD/audio content as the per-tick state."""
+        from espflix_tpu.models import sbc as dsbc
+        from espflix_tpu.ops import scan_dense as SD
+        from espflix_tpu.ops import vlc_scan_pallas as VP
+        from espflix_tpu.runtime import chain as CH
+        from espflix_tpu.tools.sbc_encode import random_frame
+
+        sls = []
+        bats = []
+        perms = []
+        for sel in per_pic:
+            b = M.make_picture_batch(sel, words_per_lane=wpl,
+                                     max_slices=mbh)
+            sl = VP.pack_slice_rows(b, words_window=None,
+                                    sort_rows=True)
+            assert not sl["overflow"].any()
+            perm, dup = SD.row_perm(sl["lane_of_row"], sl["rows"],
+                                    sl["alive"], lanes, mbh)
+            assert not dup.any()
+            sls.append(sl)
+            bats.append(b)
+            perms.append(perm)
+        Wp = max(sl["words"].shape[1] for sl in sls)
+        for sl in sls:
+            w = sl["words"]
+            if w.shape[1] < Wp:
+                sl["words"] = np.pad(w, ((0, 0), (0, Wp - w.shape[1])))
+        K = len(per_pic)
+        xs = {k: np.stack([sl[k] for sl in sls])
+              for k in CH.DECODE_KEYS[:8]}
+        xs["perm"] = np.stack(perms)
+        for k in ("intra_q", "non_intra_q", "active"):
+            xs[k] = np.stack([b[k] for b in bats])
+        arng = np.random.default_rng(17)
+        frames_a = np.stack(
+            [np.frombuffer(random_frame(arng, mode=0, bitpool=28),
+                           np.uint8) for _ in range(F_A)])
+        aw = dsbc.frames_to_words(np.ascontiguousarray(
+            np.broadcast_to(frames_a, (lanes, F_A, 64))))
+        z = np.zeros((K, lanes), np.int32)
+        xs.update(
+            osd=np.zeros((K, lanes, 16, 80), np.uint8),
+            blend=z, progress=z, parity=z, beep_left=z,
+            aud_words=np.broadcast_to(aw, (K,) + aw.shape).copy(),
+            aud_act=np.ones((K, lanes), bool),
+            aud_nval=np.full((K, lanes), F_A, np.int32),
+            starved=np.zeros((K, lanes), bool),
+        )
+        xs = {k: jnp.asarray(v) for k, v in xs.items()}
+        tap_idx = jnp.zeros((1,), jnp.int32)
+        zz = jnp.zeros((1, 1, 1), jnp.uint8)
+        interp = platform != "tpu"
+        NS = lanes * mbh
+        long_rows = min(2 * lanes, NS // 2)
+
+        def gop(frames, sbc, ds):
+            frames, sbc, ds, outs = CH.run_full_chunk(
+                xs, frames, sbc, ds, tap_idx, (zz, zz, zz),
+                mb_width=mbw, mb_height=mbh, n_lanes=lanes,
+                long_rows=long_rows, steps_long=1024,
+                steps_short=384, n_aud_frames=F_A, channels=1,
+                pal=PAL, scrolled=False, tap=0, interpret=interp,
+                return_planes=False)
+            chk = (outs["ysum"].sum() + outs["field_sum"].sum()
+                   + outs["pdm_sum"].sum() + outs["err"].sum())
+            return frames, sbc, ds, chk
+
+        def init():
+            return (M.init_frame_state(lanes, mbw * 16, mbh * 16),
+                    dsbc.init_state(lanes),
+                    jnp.zeros((lanes, 3), jnp.int32))
+
+        def run(reps):
+            frames, sbc, ds = init()
+            frames, sbc, ds, chk = gop(frames, sbc, ds)
+            _ = np.asarray(chk)           # compile + warm
+            t0 = time.time()
+            n = 0
+            frames, sbc, ds = init()
+            for _r in range(reps):
+                frames, sbc, ds, chk = gop(frames, sbc, ds)
+                n += args.pictures
+            _ = np.asarray(chk)
+            return n, time.time() - t0
+        return run
+
     def build_pallas():
+        if args.stage == "full" and args.scatter == "matmul":
+            return build_chain()
         from espflix_tpu.models.mpeg1 import dense_compose
         from espflix_tpu.ops import vlc_scan_pallas as VP
 

@@ -145,16 +145,23 @@ def parse_es(data: bytes, pts_of=None) -> tuple[SequenceInfo, list]:
 # ---------------------------------------------------------------------------
 
 def make_picture_batch(pictures: list, words_per_lane: int | None = None,
-                       max_slices: int | None = None):
+                       max_slices: int | None = None,
+                       geometry: tuple | None = None):
     """Pack one PictureData per lane into device arrays.
 
     pictures may contain None entries (starved lane: no picture, lane
-    keeps its frame and does not flip).
+    keeps its frame and does not flip).  An ALL-None tick is legal when
+    `geometry` (mb_width, mb_height) is given -- every lane masks out
+    (an idle fleet must not crash the chunked dispatch).
     """
     real = [p for p in pictures if p is not None]
-    assert real, "empty batch"
-    seq = real[0].seq
-    mbh = seq.mb_height
+    if real:
+        seq = real[0].seq
+        mbw_g, mbh = seq.mb_width, seq.mb_height
+    else:
+        assert geometry is not None and words_per_lane is not None, \
+            "empty batch needs explicit geometry + words_per_lane"
+        mbw_g, mbh = geometry
     S = max_slices or max(
         max((len(p.slice_offsets) for p in real), default=1), 1)
     if words_per_lane is None:
@@ -198,7 +205,7 @@ def make_picture_batch(pictures: list, words_per_lane: int | None = None,
         n_slices=n_slices, pic_type=pic_type, full_pel=full_pel,
         r_size=r_size, intra_q=intra_q, non_intra_q=non_intra_q,
         active=active, n_words=n_words,
-        mb_width=seq.mb_width, mb_height=mbh,
+        mb_width=mbw_g, mb_height=mbh,
     )
 
 

@@ -1,0 +1,152 @@
+"""The full per-tick device chain: decode -> composite -> PDM.
+
+This is the PRODUCT form of the reference's always-on loop -- decode
+on core 0 while the scanline ISR synthesizes the signal and the audio
+thread modulates PDM (espflix.cpp:886-1010, video.cpp:1122-1198,
+espflix.ino:73-145) -- as ONE jitted lax.scan over K display ticks:
+
+    per tick: bucketed Pallas slice scan -> matmul scatter -> dense
+    dequant/IDCT/mocomp/compose -> BOTH composite fields (with real
+    per-lane OSD/progress/blend/beep/starved state) -> batched SBC
+    decode -> delta-sigma PDM
+
+Frame planes, SBC filter history and the delta-sigma modulator state
+are the scan carry, so one dispatch + one host sync covers the whole
+chunk.  Both Fleet.run_chunk(output=True) (runtime/scheduler.py) and
+bench.py --stage full drive THIS function -- the benchmark measures
+the same code path serving runs.
+
+Signal sinks: materializing every lane's DAC samples is ~500 MB/tick
+at 1024 lanes, so the chain reduces fields and PDM to per-lane int32
+checksums (the device-resident consumer interface) and optionally
+"taps" a small static number of lanes whose full fields/PDM words are
+returned for delivery (tools/serve_scenario.py dumps them; a real
+deployment would DMA them to the egress NIC).
+
+Audio in the chain handles one SBC operating point (frame_size,
+channels) per chunk -- the service encoder emits a single op-point
+(tools/indexer.py); lanes outside it fall back to the per-tick host
+path in the Fleet.  Starved lanes get the literal 0xAAAA silence
+pattern with their modulator state untouched (video.cpp:997-1001);
+beeping lanes play the key-feedback sine for beep_frames*128 samples
+(espflix.ino:109-145).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from espflix_tpu.models import mpeg1 as M
+from espflix_tpu.models import sbc as dsbc
+from espflix_tpu.ops import composite as CO
+from espflix_tpu.ops import delta_sigma as DS
+
+# per-tick xs keys (stacked [K, ...] by the caller)
+DECODE_KEYS = ("words", "start_bits", "rows", "alive", "pic_type",
+               "full_pel", "r_size", "lane_of_row", "perm",
+               "intra_q", "non_intra_q", "active")
+OUTPUT_KEYS = ("osd", "blend", "progress", "parity", "aud_words",
+               "aud_act", "aud_nval", "beep_left", "starved")
+SCROLL_KEYS = ("hscroll",)
+
+
+def beep_wave(n_samples: int) -> np.ndarray:
+    """The key-feedback sine at >>2 amplitude (espflix.ino:109-120)."""
+    from espflix_tpu.runtime.output import _SIN32
+    return (_SIN32[np.arange(n_samples) & 31] >> 2).astype(np.int16)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mb_width", "mb_height", "n_lanes",
+                              "long_rows", "steps_long", "steps_short",
+                              "n_aud_frames", "channels", "pal",
+                              "scrolled", "tap", "interpret",
+                              "return_planes"))
+def run_full_chunk(xs, frames, sbc_state, ds_state, tap_idx, slide,
+                   *, mb_width: int, mb_height: int, n_lanes: int,
+                   long_rows: int, steps_long: int, steps_short: int,
+                   n_aud_frames: int, channels: int, pal: bool,
+                   scrolled: bool, tap: int, interpret: bool,
+                   return_planes: bool = True):
+    """One dispatch: K full decode->signal ticks.
+
+    xs: dict of [K, ...] per-tick inputs (DECODE_KEYS + OUTPUT_KEYS,
+    plus hscroll when scrolled).  tap_idx: int32[max(tap,1)] lanes to
+    return full signal for.  slide: (y,u,v) outgoing-frame snapshots
+    for the scroll animation (zeros when unused).
+
+    Returns (frames, sbc_state, ds_state, outs) with outs per tick:
+    pres y/u/v [K,N,H,W], err [K,N], field_sum/pdm_sum [K,N] int32,
+    audio_err [K,N], tap_fields [K,tap,2,L,W] u8, tap_pdm [K,tap,S].
+    """
+    from espflix_tpu.ops import vlc_scan_pallas as VP
+
+    F = n_aud_frames
+    wave = jnp.asarray(beep_wave(F * 128 * max(channels, 1)))
+
+    def body(carry, x):
+        frames, sbc_state, ds_state = carry
+        coeffs, recs, nfinal, err, _it = \
+            VP.run_scan_pallas_bucketed_dense(
+                *[x[k] for k in DECODE_KEYS[:8]], x["perm"],
+                mb_width=mb_width, mb_height=mb_height,
+                n_lanes=n_lanes, long_rows=long_rows,
+                steps_long=steps_long, steps_short=steps_short,
+                chunk=128, interpret=interpret)
+        frames, p = M.dense_compose(
+            coeffs, recs, nfinal, x["intra_q"], x["non_intra_q"],
+            x["active"], frames, mb_width=mb_width,
+            mb_height=mb_height)
+
+        # ---- composite: both fields of the frame pair ---------------
+        if scrolled:
+            sy, su, sv = slide
+            ye, ue, ve = CO.apply_hscroll(
+                p["y"], p["u"], p["v"], sy, su, sv, x["hscroll"])
+        else:
+            ye, ue, ve = p["y"], p["u"], p["v"]
+        fields = CO.synthesize_field_pair(
+            ye, ue, ve, x["parity"], x["osd"], x["blend"],
+            x["progress"], pal=pal)
+
+        # ---- audio: SBC decode + beep/starve + delta-sigma ----------
+        pcm, sbc_state, aerr, _ = dsbc.decode_frames_batched(
+            x["aud_words"], sbc_state, active=x["aud_act"],
+            n_valid=x["aud_nval"], n_frames=F, channels=channels)
+        S = F * 128 * max(channels, 1)
+        pcm = pcm[:, :S]
+        t = jnp.arange(S, dtype=jnp.int32)[None, :]
+        beeping = t < (x["beep_left"] * 128)[:, None]
+        pcm = jnp.where(beeping, wave[None, :], pcm)
+        pdm, ds2 = DS.modulate(pcm, ds_state, n_samples=S)
+        silent = x["starved"] | ~(x["aud_act"] | (x["beep_left"] > 0))
+        pdm = jnp.where(silent[:, None], DS.SILENCE_WORD, pdm)
+        ds_state = jnp.where(silent[:, None], ds_state, ds2)
+
+        out = dict(
+            err=err,
+            audio_err=aerr.any(axis=tuple(range(1, aerr.ndim))),
+            field_sum=fields.astype(jnp.int32).sum(
+                axis=(1, 2, 3), dtype=jnp.int32),
+            pdm_sum=pdm.sum(axis=1, dtype=jnp.int32),
+        )
+        if return_planes:
+            out.update(y=p["y"], u=p["u"], v=p["v"])
+        else:
+            # the planes are consumed by the output stage above; a
+            # per-lane checksum keeps a content witness without
+            # materializing [K, N, H, W] per chunk
+            out["ysum"] = p["y"].astype(jnp.int32).sum(
+                axis=(1, 2), dtype=jnp.int32)
+        if tap:
+            out["tap_fields"] = jnp.take(fields, tap_idx[:tap], axis=0)
+            out["tap_pdm"] = jnp.take(pdm, tap_idx[:tap], axis=0)
+        return (frames, sbc_state, ds_state), out
+
+    (frames, sbc_state, ds_state), outs = jax.lax.scan(
+        body, (frames, sbc_state, ds_state), xs)
+    return frames, sbc_state, ds_state, outs

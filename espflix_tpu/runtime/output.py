@@ -112,6 +112,36 @@ class OutputStage:
             return PAUSE if paused else PLAY
         return FFWD if speed > 0 else RWND
 
+    # -- fleet-chain state capture (runtime/chain.py) -------------------
+    def tick_state(self, n_aud_frames: int) -> dict:
+        """Capture this tick's per-lane OSD/animation/beep state for
+        the device chain, then advance the host counters by one frame
+        pair (two fields: blend fades and the slide animator step once
+        per field, video.cpp:1190-1196) and by n_aud_frames of beep."""
+        snap = dict(
+            osd=self.osd.copy(),
+            blend=self.blend.astype(np.int32).copy(),
+            progress=self.progress.astype(np.int32).copy(),
+            parity=(self.frame_counter & 1).astype(np.int32),
+            hscroll=self.hscroll.astype(np.int32).copy(),
+            beep_left=self.beep_frames.astype(np.int32).copy(),
+        )
+        self.frame_counter += 2
+        for _ in range(2):
+            self.blend = np.where(self.blend > 0, self.blend - 1,
+                                  self.blend)
+            if (self.animate_index != 0).any() or \
+                    (self.hscroll != 0).any():
+                self._animate_step()
+        self.beep_frames = np.maximum(
+            self.beep_frames - n_aud_frames, 0)
+        return snap
+
+    def slide_planes(self):
+        """(y, u, v) outgoing-frame snapshots for the scroll blit, or
+        None when no slide has ever started."""
+        return self._slide
+
     # -- synthesis ------------------------------------------------------
     def synthesize(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
         """One field per lane: uint8[N, line_count, line_width]."""

@@ -63,6 +63,13 @@ class TickResult:
     audio_errors: np.ndarray | None = None  # bool[N] lanes whose SBC
     # decode flagged an anomaly this tick (the reference reports every
     # one, video.cpp:1013-1014)
+    field_sum: np.ndarray | None = None   # int32[N] checksum of both
+    # composite fields (full-chain ticks only, runtime/chain.py)
+    pdm_sum: np.ndarray | None = None     # int32[N] checksum of the
+    # tick's PDM words (full-chain ticks only)
+    tap_fields: np.ndarray | None = None  # uint8[tap, 2, L, W] full
+    # DAC fields for the tapped lanes
+    tap_pdm: np.ndarray | None = None     # int32[tap, S] PDM words
 
 
 class Fleet:
@@ -70,7 +77,8 @@ class Fleet:
                  words_per_lane: int = 16384, mesh=None,
                  audio_frames_per_tick: int | None = None,
                  tick_rate: float = 30.0,
-                 parser: str = "device"):
+                 parser: str = "device", output: bool = False,
+                 pal: bool = False):
         """parser: 'device' (all-device FSM scan, the north-star
         config), 'pallas' (the slice-parallel VMEM-resident Pallas scan
         kernel; interpreter mode off-TPU) or 'hybrid' (native C++
@@ -91,6 +99,15 @@ class Fleet:
         self.sessions: list[PlayerSession | None] = [None] * n_lanes
         self.events = EventLog()
         self.timers = Timers()
+        # full-path output stage (decode -> composite -> PDM on device,
+        # runtime/chain.py); the OutputStage holds the per-lane OSD/
+        # animation/beep host state and the modulator device state
+        self.pal = pal
+        self.output = None
+        self._aud_op = None       # discovered (frame_size, channels)
+        if output:
+            from espflix_tpu.runtime.output import OutputStage
+            self.output = OutputStage(n_lanes, pal=pal)
         self.frames = M.init_frame_state(n_lanes, self.mb_w * 16,
                                          self.mb_h * 16)
         self.sbc_state = dsbc.init_state(n_lanes)
@@ -237,7 +254,8 @@ class Fleet:
             with self.timers.measure("batch_assemble"):
                 b = M.make_picture_batch(
                     pics, words_per_lane=self.words_per_lane,
-                    max_slices=self.mb_h)
+                    max_slices=self.mb_h,
+                    geometry=(self.mb_w, self.mb_h))
             with self.timers.measure("device_decode"):
                 self.frames, presented, info = \
                     M.decode_picture_batch_sliced(
@@ -456,7 +474,8 @@ class Fleet:
             with self.timers.measure("batch_assemble"):
                 batches.append(M.make_picture_batch(
                     pics, words_per_lane=self.words_per_lane,
-                    max_slices=self.mb_h))
+                    max_slices=self.mb_h,
+                    geometry=(self.mb_w, self.mb_h)))
             audio.append(self._submit_audio(decode_audio))
 
         keys = ("words", "slice_starts", "slice_rows", "n_slices",
@@ -484,14 +503,21 @@ class Fleet:
             sstk.update({k: stacked[k]
                          for k in ("intra_q", "non_intra_q", "active")})
             NS = sls[0]["span"].shape[0]
-            need = max(int((sl["span"] * 32 > 512).sum())
-                       for sl in sls)
-            long_rows = M._quantize_pow2(max(need, 1), 8,
-                                         max(NS - 8, 8))
-            # if even the capped long bucket cannot absorb every long
-            # row (tiny fleets, aligned I phases), give the short
-            # bucket the full budget -- correct, just not cheaper
-            steps_short = 512 if need <= NS - 8 else 2048
+            # the long bucket must absorb every I picture's rows (the
+            # host knows picture types; span sorting puts them first);
+            # the old bits-based heuristic (span*32 > budget) was so
+            # conservative it pushed every P slice long too
+            need = max((sum(1 for p in pics
+                            if p is not None and p.pic_type == 1)
+                        * self.mb_h
+                        for (pics, _, _) in gathered), default=8)
+            need = max(need, 8)
+            long_rows = M._quantize_pow2(min(need, max(NS // 2, 8)),
+                                         8, max(NS - 8, 8))
+            # a tick whose I rows exceed half the fleet escalates the
+            # short bucket instead (uniform budget -- correct, just
+            # not cheaper)
+            steps_short = 512 if need <= NS // 2 else 2048
             with self.timers.measure("device_decode"):
                 self.frames, pres, errs = _chunk_decode_pallas(
                     sstk, self.frames, mb_width=self.mb_w,
@@ -560,6 +586,209 @@ class Fleet:
                 video_lanes, ys[t], us[t], vs[t], pts,
                 errors | pre_errors, audio_lanes, pcm, pcm_samples,
                 audio_starved, audio_errors))
+        return results
+
+
+    # -- full-path chunk: decode + composite + PDM on device -------------
+    def _update_osd(self):
+        """Per-tick OSD glue (espflix.cpp:862-884): refresh the time
+        readout + progress bar for lanes showing the overlay."""
+        from espflix_tpu.runtime.player import State
+        out = self.output
+        for i, s in enumerate(self.sessions):
+            if s is None or out.blend[i] == 0:
+                continue
+            if s.state not in (State.PLAYING, State.PAUSED,
+                               State.FAST_FORWARD, State.REWIND):
+                continue
+            ti = s.info.get(s.nav_index)
+            if not ti or not ti.idx_hdr:
+                continue
+            icon = out.icon_for(s.speed, s.state == State.PAUSED)
+            out.update_progress(i, ti.pos, ti.idx_hdr.video.last_pts,
+                                icon)
+
+    def _gather_audio_arrays(self, F: int):
+        """One tick of SBC frames as fixed-shape device inputs for the
+        chain.  Locks onto the fleet's first discovered operating point
+        (frame_size, channels); lanes at another op point stay silent
+        in the chain (the per-tick path still serves them)."""
+        from espflix_tpu.runtime.player import State
+        n = self.n
+        starved = np.zeros(n, bool)
+        act = np.zeros(n, bool)
+        nval = np.zeros(n, np.int32)
+        frames_list: list[tuple[int, list]] = []
+        for i, s in enumerate(self.sessions):
+            if s is None:
+                continue
+            ring = s.feed.audio
+            if not (ring.discover(self._probe) and ring.frame_size):
+                continue
+            if self._aud_op is None and ring.blocks == 16:
+                self._aud_op = (ring.frame_size, ring.channels)
+            if self._aud_op is None or \
+                    (ring.frame_size, ring.channels) != self._aud_op \
+                    or ring.blocks != 16:
+                continue
+            fr = ring.pop_frames(F)
+            if not fr:
+                if s.state in (State.PLAYING, State.FAST_FORWARD,
+                               State.REWIND) and not s.eos:
+                    starved[i] = True
+                    self.events.log(Ev.AUDIO_STARVED, i)
+                continue
+            act[i] = True
+            nval[i] = len(fr)
+            frames_list.append((i, fr))
+        fs = self._aud_op[0] if self._aud_op else 64
+        ch = self._aud_op[1] if self._aud_op else 1
+        arr = np.zeros((n, F, fs), np.uint8)
+        for i, fr in frames_list:
+            for j, f in enumerate(fr):
+                arr[i, j] = np.frombuffer(f, np.uint8)
+        return dsbc.frames_to_words(arr), act, nval, starved, ch
+
+    def run_chunk_full(self, n_ticks: int, tap_lanes=(),
+                       steps_long: int = 1024, steps_short: int = 384
+                       ) -> list["TickResult"]:
+        """K ticks of the COMPLETE reference loop in one device
+        dispatch: decode + both composite fields (real per-lane OSD/
+        progress/slide/beep/starved state) + SBC + delta-sigma PDM
+        (runtime/chain.py -- the same jitted path bench.py measures).
+
+        Requires parser='pallas', no mesh, and output=True.  Presented
+        planes/fields/PDM stay on device (checksums in the TickResult;
+        tap_lanes get their full DAC fields + PDM words back).
+        Control-plane effects apply at chunk boundaries like
+        run_chunk."""
+        assert self.output is not None, "Fleet(output=True) required"
+        assert self.parser == "pallas" and self.mesh is None, \
+            "full chain runs on the single-chip Pallas parser"
+        from espflix_tpu.ops import scan_dense as SD
+        from espflix_tpu.ops import vlc_scan_pallas as VP
+        from espflix_tpu.runtime import chain as CH
+
+        F = self.audio_F
+        gathered = []
+        xs_t = []
+        dup_any = np.zeros(self.n, bool)
+        need_long = 8
+        for _ in range(n_ticks):
+            pics, pts, pre_errors = self._gather_pictures()
+            # the long symbol bucket must absorb every I picture's rows
+            # (the host knows the picture types; span sorting puts them
+            # first) -- an aligned-phase tick can be ALL I lanes
+            n_i = sum(1 for p in pics
+                      if p is not None and p.pic_type == 1)
+            need_long = max(need_long, n_i * self.mb_h)
+            with self.timers.measure("batch_assemble"):
+                b = M.make_picture_batch(
+                    pics, words_per_lane=self.words_per_lane,
+                    max_slices=self.mb_h,
+                    geometry=(self.mb_w, self.mb_h))
+                sl = VP.pack_slice_rows(b, sort_rows=True)
+                perm, dup = SD.row_perm(
+                    sl["lane_of_row"], sl["rows"], sl["alive"],
+                    self.n, self.mb_h)
+            dup_any |= dup
+            aud_words, aact, anval, starved, ch = \
+                self._gather_audio_arrays(F)
+            self._update_osd()
+            snap = self.output.tick_state(F)
+            x = {k: sl[k] for k in CH.DECODE_KEYS[:8] if k != "perm"}
+            x["perm"] = perm
+            x["intra_q"] = b["intra_q"]
+            x["non_intra_q"] = b["non_intra_q"]
+            x["active"] = b["active"]
+            x["osd"] = snap["osd"]
+            x["blend"] = snap["blend"]
+            x["progress"] = snap["progress"]
+            x["parity"] = snap["parity"]
+            x["hscroll"] = snap["hscroll"]
+            x["beep_left"] = snap["beep_left"]
+            x["aud_words"] = aud_words
+            x["aud_act"] = aact
+            x["aud_nval"] = anval
+            x["starved"] = starved
+            xs_t.append(x)
+            gathered.append((pics, pts, pre_errors, starved))
+
+        # common word-window width across the chunk
+        Wp = max(x["words"].shape[1] for x in xs_t)
+        for x in xs_t:
+            w = x["words"]
+            if w.shape[1] < Wp:
+                x["words"] = np.pad(w, ((0, 0), (0, Wp - w.shape[1])))
+        xs = {k: jnp.asarray(np.stack([x[k] for x in xs_t]))
+              for k in xs_t[0]}
+        self.events.log(Ev.DECODE_BATCH, value=sum(
+            int(x["active"].sum()) for x in xs_t))
+
+        scrolled = any((x["hscroll"] != 0).any() for x in xs_t)
+        sld = self.output.slide_planes()
+        if scrolled and sld is not None:
+            slide = tuple(jnp.asarray(s) for s in sld)
+        else:
+            scrolled = False
+            z = jnp.zeros((1, 1, 1), jnp.uint8)
+            slide = (z, z, z)
+        tap = len(tap_lanes)
+        tap_idx = jnp.asarray(
+            np.asarray(list(tap_lanes) or [0], np.int32))
+
+        # span-sorted rows: the long bucket absorbs the I slices.
+        # Budgets are static per jit variant; pow2 quantization keeps
+        # the variant count logarithmic, and a tick whose I rows
+        # exceed half the fleet escalates the short bucket instead
+        # (uniform budget -- correct, just not cheaper).
+        NS = self.n * self.mb_h
+        long_rows = M._quantize_pow2(min(need_long, max(NS // 2, 8)),
+                                     8, max(NS - 8, 8))
+        if need_long > NS // 2:
+            steps_short = steps_long
+        with self.timers.measure("device_decode"):
+            (self.frames, self.sbc_state, self.output.pdm_state,
+             outs) = CH.run_full_chunk(
+                xs, self.frames, self.sbc_state,
+                self.output.pdm_state, tap_idx, slide,
+                mb_width=self.mb_w, mb_height=self.mb_h,
+                n_lanes=self.n, long_rows=long_rows,
+                steps_long=steps_long, steps_short=steps_short,
+                n_aud_frames=F, channels=ch, pal=self.pal,
+                scrolled=scrolled, tap=tap,
+                interpret=self._pallas_interpret)
+
+        with self.timers.measure("host_sync"):
+            errs = np.asarray(outs["err"]) | dup_any[None, :]
+            fsum = np.asarray(outs["field_sum"])
+            psum = np.asarray(outs["pdm_sum"])
+            audio_errs = np.asarray(outs["audio_err"])
+            tap_f = np.asarray(outs["tap_fields"]) if tap else None
+            tap_p = np.asarray(outs["tap_pdm"]) if tap else None
+
+        results = []
+        for t, (pics, pts, pre_errors, starved) in enumerate(gathered):
+            video_lanes = np.array([p is not None for p in pics])
+            errors = errs[t].copy()
+            for i, p in enumerate(pics):
+                if p is not None and self.sessions[i] is not None:
+                    self.sessions[i].on_presented(p.pts)
+                    if errors[i]:
+                        self.events.log(Ev.LANE_ERROR, i)
+                        if self.sessions[i].resync():
+                            self.events.log(Ev.LANE_RESYNC, i)
+            for i in np.nonzero(audio_errs[t])[0]:
+                self.events.log(Ev.AUDIO_ERROR, int(i))
+            results.append(TickResult(
+                video_lanes, outs["y"][t], outs["u"][t], outs["v"][t],
+                pts, errors | pre_errors,
+                audio_lanes=np.asarray(xs_t[t]["aud_act"]),
+                pcm=None, pcm_samples=None, audio_starved=starved,
+                audio_errors=audio_errs[t],
+                field_sum=fsum[t], pdm_sum=psum[t],
+                tap_fields=tap_f[t] if tap else None,
+                tap_pdm=tap_p[t] if tap else None))
         return results
 
 

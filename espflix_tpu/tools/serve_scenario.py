@@ -125,6 +125,10 @@ class ScenarioStats:
     wall_s: float = 0.0
     ticks: int = 0
     lanes: int = 0
+    frames_per_lane: np.ndarray | None = None  # int64[N]
+    full_ticks: int = 0        # ticks that ran the on-device output
+    # stage (composite fields + PDM); --stage full only
+    tap_field_bytes: int = 0   # DAC bytes delivered for tapped lanes
 
     def streams_per_chip(self) -> float:
         if self.wall_s <= 0:
@@ -148,8 +152,14 @@ def generate_service(root: str, titles: list[str], *, seed: int = 0,
 
 def build_fleet(url: str, lanes: int, titles: int,
                 words_per_lane: int = 8192,
-                audio: bool = True) -> Fleet:
-    fleet = Fleet(lanes, words_per_lane=words_per_lane)
+                audio: bool = True, stage: str = "decode") -> Fleet:
+    if stage == "full":
+        # the complete on-device loop (decode + composite + PDM,
+        # runtime/chain.py) runs on the Pallas parser
+        fleet = Fleet(lanes, words_per_lane=words_per_lane,
+                      parser="pallas", output=True)
+    else:
+        fleet = Fleet(lanes, words_per_lane=words_per_lane)
     for i in range(lanes):
         s = PlayerSession(url)
         if not s.init_service():
@@ -164,7 +174,7 @@ def run_scenario(fleet: Fleet, ticks: int, *, seed: int = 0,
                  action_every: int = 4, faults: int = 2,
                  decode_audio: bool = True,
                  snapshot_at: int | None = None,
-                 churn: bool = True):
+                 churn: bool = True, dispatch: str = "pipelined"):
     """Drive the fleet through `ticks` pipelined ticks with scripted
     per-lane control actions and injected faults.
 
@@ -243,31 +253,65 @@ def run_scenario(fleet: Fleet, ticks: int, *, seed: int = 0,
             stats.actions["lane_restart"] = \
                 stats.actions.get("lane_restart", 0) + 1
 
-    t0 = time.time()
-    pend = None
-    for t in range(ticks):
-        if churn:
-            reap_done()
-        if t in fault_plan:
-            inject(fault_plan[t])
-        if action_every and t and t % action_every == 0:
-            act(t)
-        if snapshot_at is not None and t == snapshot_at:
-            snap = fleet.snapshot()
-        nxt = fleet.tick_submit(decode_audio)
-        if pend is not None:
-            # serving shape: planes stay on device (they feed the
-            # output stage there); only control words reach the host
-            r = fleet.tick_collect(pend, fetch_frames=False)
-            stats.frames += int(r.video_lanes.sum())
-            stats.audio_lanes += int(r.audio_lanes.sum())
-            stats.errors += int(r.errors.sum())
-        pend = nxt
-    if pend is not None:
-        r = fleet.tick_collect(pend, fetch_frames=False)
+    stats.frames_per_lane = np.zeros(n, np.int64)
+
+    def account(r):
         stats.frames += int(r.video_lanes.sum())
+        stats.frames_per_lane += r.video_lanes.astype(np.int64)
         stats.audio_lanes += int(r.audio_lanes.sum())
         stats.errors += int(r.errors.sum())
+        if r.field_sum is not None:
+            stats.full_ticks += 1
+        if r.tap_fields is not None:
+            stats.tap_field_bytes += int(np.asarray(r.tap_fields).size)
+
+    t0 = time.time()
+    if dispatch == "pipelined":
+        pend = None
+        for t in range(ticks):
+            if churn:
+                reap_done()
+            if t in fault_plan:
+                inject(fault_plan[t])
+            if action_every and t and t % action_every == 0:
+                act(t)
+            if snapshot_at is not None and t == snapshot_at:
+                snap = fleet.snapshot()
+            nxt = fleet.tick_submit(decode_audio)
+            if pend is not None:
+                # serving shape: planes stay on device (they feed the
+                # output stage there); only control words reach host
+                r = fleet.tick_collect(pend, fetch_frames=False)
+                account(r)
+            pend = nxt
+        if pend is not None:
+            account(fleet.tick_collect(pend, fetch_frames=False))
+    else:
+        # chunked dispatch: K ticks per device call (run_chunk /
+        # run_chunk_full); control actions, faults and snapshots apply
+        # at chunk boundaries -- worst-case action latency = K ticks
+        # (pinned by tests/test_serve_scenario.py)
+        K = max(1, action_every)
+        t = 0
+        while t < ticks:
+            if churn:
+                reap_done()
+            for ft in list(fault_plan):
+                if t <= ft < t + K:
+                    inject(fault_plan.pop(ft))
+            if t:
+                act(t)
+            if snapshot_at is not None and t <= snapshot_at < t + K:
+                snap = fleet.snapshot()
+            k = min(K, ticks - t)
+            if dispatch == "full":
+                rs = fleet.run_chunk_full(k, tap_lanes=(0,))
+            else:
+                rs = fleet.run_chunk(k, decode_audio,
+                                     fetch_frames=False)
+            for r in rs:
+                account(r)
+            t += k
     stats.wall_s = time.time() - t0
     stats.ticks = ticks
     names = [e.ev for e in fleet.events.dump(10 ** 6)]
@@ -289,7 +333,20 @@ def main(argv=None):
                     default="http",
                     help="file skips the local HTTP server (isolates "
                          "fleet cost from serving HTTP on this host)")
+    ap.add_argument("--stage", choices=["decode", "full"],
+                    default="decode",
+                    help="full = the complete on-device loop: decode +"
+                         " composite fields + SBC + delta-sigma PDM "
+                         "(runtime/chain.py), chunk-dispatched")
+    ap.add_argument("--dispatch",
+                    choices=["pipelined", "chunk", "full"],
+                    default=None,
+                    help="device dispatch (default: pipelined for "
+                         "--stage decode, full-chain chunks for "
+                         "--stage full)")
     args = ap.parse_args(argv)
+    dispatch = args.dispatch or (
+        "full" if args.stage == "full" else "pipelined")
 
     root = args.service
     if root is None:
@@ -305,20 +362,24 @@ def main(argv=None):
         url, shutdown = "file://" + root, (lambda: None)
     print(f"service at {url}", file=sys.stderr)
 
-    fleet = build_fleet(url, args.lanes, args.titles)
+    fleet = build_fleet(url, args.lanes, args.titles,
+                        stage=args.stage)
     half = args.ticks // 2
     stats, snap = run_scenario(
         fleet, args.ticks, seed=args.seed,
-        decode_audio=not args.no_audio, snapshot_at=half)
+        decode_audio=not args.no_audio, snapshot_at=half,
+        dispatch=dispatch)
 
     # snapshot/restore into a second fleet: every playing lane resumes
     restored = 0
     if snap is not None:
-        fleet2 = build_fleet(url, args.lanes, args.titles)
+        fleet2 = build_fleet(url, args.lanes, args.titles,
+                             stage=args.stage)
         restored = fleet2.restore(snap)
         rstats, _ = run_scenario(fleet2, max(4, args.ticks // 8),
                                  seed=args.seed + 1, faults=0,
-                                 decode_audio=not args.no_audio)
+                                 decode_audio=not args.no_audio,
+                                 dispatch=dispatch)
         restored_ok = rstats.frames > 0
     else:
         restored_ok = False
@@ -327,6 +388,12 @@ def main(argv=None):
     out = {
         "lanes": args.lanes,
         "ticks": stats.ticks,
+        "stage": args.stage,
+        "dispatch": dispatch,
+        "full_ticks": stats.full_ticks,
+        "tap_field_bytes": stats.tap_field_bytes,
+        "min_lane_frames": int(stats.frames_per_lane.min())
+        if stats.frames_per_lane is not None else 0,
         "frames": stats.frames,
         "audio_lane_ticks": stats.audio_lanes,
         "errors": stats.errors,

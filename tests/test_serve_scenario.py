@@ -69,3 +69,45 @@ def test_done_lanes_are_churned_back_in(http_service):
     assert stats.actions.get("lane_restart", 0) >= 2
     # and decode kept happening well past the first title's length
     assert stats.frames > 2 * 24  # more than two title-lengths decoded
+
+
+def test_steady_state_per_lane_floor(http_service):
+    """Regression floor: with no control churn, every PLAYING lane
+    sustains near 1 frame/tick (a fleet-wide throughput regression
+    cannot hide behind a fleet-total assertion)."""
+    fleet = SS.build_fleet(http_service, 4, 2, words_per_lane=8192)
+    stats, _ = SS.run_scenario(fleet, 16, seed=21, faults=0,
+                               action_every=0, churn=True)
+    assert stats.frames_per_lane is not None
+    # first tick may warm up; floor at ticks-2 per lane
+    assert int(stats.frames_per_lane.min()) >= 14, \
+        stats.frames_per_lane.tolist()
+
+
+def test_chunk_dispatch_scenario_and_action_latency(http_service):
+    """The production chunked dispatch (run_chunk) under the same
+    control plane: per-lane progress holds, and control actions take
+    effect by the NEXT chunk boundary -- the pinned worst-case
+    latency is one chunk (K ticks)."""
+    fleet = SS.build_fleet(http_service, 4, 2, words_per_lane=8192)
+    fleet.parser = "pallas"
+    import jax
+    fleet._pallas_interpret = jax.default_backend() != "tpu"
+    stats, _ = SS.run_scenario(fleet, 12, seed=23, faults=0,
+                               action_every=4, churn=True,
+                               dispatch="chunk")
+    assert stats.frames_per_lane is not None
+    assert int(stats.frames_per_lane.min()) >= 6
+
+    # action latency pin: pause a lane, run one chunk of K ticks --
+    # the lane decodes ZERO frames in that chunk (the pause applied
+    # at the boundary, not K ticks later)
+    s = fleet.sessions[0]
+    if s.state != State.PLAYING:
+        s.play_pause()
+    if s.state != State.PLAYING:   # was paused: toggle back on
+        s.play_pause()
+    assert s.state == State.PLAYING
+    s.play_pause()                  # -> PAUSED at the boundary
+    rs = fleet.run_chunk(4, fetch_frames=False)
+    assert sum(int(r.video_lanes[0]) for r in rs) == 0
