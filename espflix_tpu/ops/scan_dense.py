@@ -73,6 +73,55 @@ def row_perm(lane_of_row: np.ndarray, rows: np.ndarray,
     return perm, dup
 
 
+def pack_slice_rows_sharded(batch: dict, n_shards: int,
+                            mb_height: int):
+    """Host-side packing for the shard_map'ed Pallas parser.
+
+    Splits the lane axis into n_shards contiguous groups, span-sorts
+    each group's slice rows INDEPENDENTLY (so every shard's row block
+    is self-contained: local lane_of_row, local row permutation), and
+    concatenates along axis 0.  With every row array sharded
+    P('streams') on axis 0, each shard scans exactly its own lanes'
+    rows -- zero data-path ICI, same as the XLA parser.
+
+    Returns (sl dict with concatenated row arrays + 'perm', dup
+    bool[N], need_long int = max per-shard I-bucket size in rows).
+    """
+    from espflix_tpu.ops import vlc_scan_pallas as VP
+    N = len(batch["active"])
+    assert N % n_shards == 0
+    ln = N // n_shards
+    parts = []
+    perms = []
+    dups = []
+    keys = ("words", "start_bits", "rows", "alive", "pic_type",
+            "full_pel", "r_size", "lane_of_row")
+    for s in range(n_shards):
+        sub = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray) and v.ndim >= 1 and \
+                    len(v) == N:
+                sub[k] = v[s * ln:(s + 1) * ln]
+            else:
+                sub[k] = v
+        sl = VP.pack_slice_rows(sub, sort_rows=True)
+        perm, dup = row_perm(sl["lane_of_row"], sl["rows"],
+                             sl["alive"], ln, mb_height)
+        parts.append(sl)
+        perms.append(perm)
+        dups.append(dup)
+    Wp = max(p["words"].shape[1] for p in parts)
+    for p in parts:
+        w = p["words"]
+        if w.shape[1] < Wp:
+            p["words"] = np.pad(w, ((0, 0), (0, Wp - w.shape[1])))
+    out = {k: np.concatenate([p[k] for p in parts]) for k in keys}
+    out["perm"] = np.concatenate(perms)
+    out["overflow"] = np.concatenate([p["overflow"] for p in parts])
+    out["ns_local"] = parts[0]["words"].shape[0] // 1  # rows per shard
+    return out, np.concatenate(dups)
+
+
 def _decode_slots(liT, rowbase_mb, mb_width: int, mb_count: int):
     """Elementwise decode of flat log indices -> (row-local tile ids,
     positions, masks).  liT [R, T] int32; rowbase_mb [R] int32."""

@@ -37,6 +37,13 @@ def shard_lane_tree(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
 
 
+def shard_axis1_tree(mesh: Mesh, tree):
+    """Device-put [K, lanes, ...] stacks with axis-1 'streams'
+    sharding (chunked dispatch: lax.scan peels axis 0 per tick)."""
+    s = NamedSharding(mesh, P(None, "streams"))
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
 def make_sharded_decoder(mesh: Mesh, *, mb_width: int, mb_height: int,
                          max_steps: int):
     """Jitted decode-one-picture-per-lane step running under shard_map
@@ -71,6 +78,65 @@ def make_sharded_decoder(mesh: Mesh, *, mb_width: int, mb_height: int,
                  dict(error=spec, ok=spec, iters=spec))
     return jax.jit(shard_map(
         wrapped, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        **_check))
+
+
+def make_sharded_pallas_decoder(mesh: Mesh, *, mb_width: int,
+                                mb_height: int, long_rows: int,
+                                steps_long: int = 1024,
+                                steps_short: int = 384,
+                                interpret: bool = False):
+    """The PRODUCTION parser under the mesh: slice-parallel Pallas
+    scan + matmul scatter + dense phase, shard_map'ed over 'streams'.
+
+    Inputs come from scan_dense.pack_slice_rows_sharded: each shard's
+    slice rows are span-sorted within the shard and self-contained
+    (local lane_of_row / permutation), so the whole decode stays
+    shard-local -- the fastest serving path now expresses under the
+    same mesh as the XLA parser (zero data-path ICI).
+
+    long_rows / budgets are per SHARD (static, uniform across shards;
+    callers size long_rows for the worst shard's I rows)."""
+    import inspect
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    _params = inspect.signature(shard_map).parameters
+    _check = {"check_vma": False} if "check_vma" in _params \
+        else {"check_rep": False}
+
+    import jax.numpy as jnp
+    from espflix_tpu.models import mpeg1 as Mm
+    from espflix_tpu.ops import vlc_scan_pallas as VP
+
+    def body(words, start_bits, rows, alive, pic_type, full_pel,
+             r_size, lane_of_row, perm, intra_q, non_intra_q, active,
+             frames):
+        n_loc = active.shape[0]
+        coeffs, recs, nfinal, err, iters = \
+            VP.run_scan_pallas_bucketed_dense(
+                words, start_bits, rows, alive, pic_type, full_pel,
+                r_size, lane_of_row, perm, mb_width=mb_width,
+                mb_height=mb_height, n_lanes=n_loc,
+                long_rows=long_rows, steps_long=steps_long,
+                steps_short=steps_short, chunk=128,
+                interpret=interpret)
+        frames, pres = Mm.dense_compose(
+            coeffs, recs, nfinal, intra_q, non_intra_q, active,
+            frames, mb_width=mb_width, mb_height=mb_height,
+            use_pallas_mocomp=not interpret)
+        info = dict(error=err, ok=active & ~err,
+                    iters=jnp.broadcast_to(iters, (n_loc,)))
+        return frames, pres, info
+
+    spec = P("streams")
+    frames_spec = dict(y=spec, u=spec, v=spec, parity=spec)
+    in_specs = (spec,) * 12 + (frames_spec,)
+    out_specs = (frames_spec, dict(y=spec, u=spec, v=spec),
+                 dict(error=spec, ok=spec, iters=spec))
+    return jax.jit(shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         **_check))
 
 

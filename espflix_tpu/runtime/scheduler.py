@@ -150,6 +150,73 @@ class Fleet:
     def attach(self, lane: int, session: PlayerSession):
         self.sessions[lane] = session
 
+    # -- sharded Pallas parser (the production path under a mesh) -------
+    def _bucket_params(self, pics, lanes_per_shard: int | None = None):
+        """(long_rows, steps_long, steps_short) for this tick's
+        picture mix: the long bucket absorbs every I picture's rows
+        (per shard when sharded); quantized pow2 so jit variants stay
+        logarithmic."""
+        n_sh = 1 if lanes_per_shard is None else \
+            self.n // lanes_per_shard
+        ln = lanes_per_shard or self.n
+        need = 8
+        for s in range(n_sh):
+            n_i = sum(1 for p in pics[s * ln:(s + 1) * ln]
+                      if p is not None and p.pic_type == 1)
+            need = max(need, n_i * self.mb_h)
+        NSl = ln * self.mb_h
+        steps_long, steps_short = 1024, 384
+        if need > NSl // 2:
+            steps_short = steps_long
+        long_rows = M._quantize_pow2(
+            min(need, max(NSl // 2, 1)), 1, max(NSl - 1, 1))
+        return long_rows, steps_long, steps_short
+
+    def _get_sharded_pallas(self, long_rows, steps_long, steps_short,
+                            chunked: bool):
+        key = (long_rows, steps_long, steps_short, chunked)
+        cache = getattr(self, "_spd_cache", None)
+        if cache is None:
+            cache = self._spd_cache = {}
+        if key in cache:
+            return cache[key]
+        from espflix_tpu.parallel import mesh as pmesh
+        dec = pmesh.make_sharded_pallas_decoder(
+            self.mesh, mb_width=self.mb_w, mb_height=self.mb_h,
+            long_rows=long_rows, steps_long=steps_long,
+            steps_short=steps_short,
+            interpret=self._pallas_interpret)
+        if not chunked:
+            cache[key] = dec
+            return dec
+
+        import jax as _j
+
+        rowk = ("words", "start_bits", "rows", "alive", "pic_type",
+                "full_pel", "r_size", "lane_of_row", "perm")
+
+        @_j.jit
+        def chunk_fn(stacked, frames):
+            def body(fr, xs):
+                fr, pres, info = dec(
+                    *(xs[k] for k in rowk), xs["intra_q"],
+                    xs["non_intra_q"], xs["active"], fr)
+                return fr, (pres, info["error"])
+            frames, (pres, errs) = _j.lax.scan(body, frames, stacked)
+            return frames, pres, errs
+
+        cache[key] = chunk_fn
+        return chunk_fn
+
+    def _pack_sharded(self, pics, b):
+        """(row_args numpy dict incl. perm, dup) for the mesh parser."""
+        from espflix_tpu.ops import scan_dense as SD
+        n_sh = self.mesh.shape["streams"]
+        sl, dup = SD.pack_slice_rows_sharded(b, n_sh, self.mb_h)
+        # overflow is per lane (concatenated across shards): contain
+        # those lanes exactly like duplicates (error -> resync)
+        return sl, dup | sl["overflow"]
+
     # -- fleet checkpoint/restore (SURVEY.md 5.4) -----------------------
     def snapshot(self) -> list:
         return [s.snapshot() if s is not None else None
@@ -262,6 +329,33 @@ class Fleet:
                         b, self.frames, mb_width=self.mb_w,
                         mb_height=self.mb_h,
                         interpret=self._pallas_interpret)
+        elif active_any and self.parser == "pallas":
+            # production Pallas parser under the mesh: per-shard
+            # span-sorted rows, shard-local scan + matmul scatter
+            from espflix_tpu.parallel import mesh as pmesh
+            self.events.log(Ev.DECODE_BATCH,
+                            value=int(sum(p is not None for p in pics)))
+            n_sh = self.mesh.shape["streams"]
+            with self.timers.measure("batch_assemble"):
+                b = M.make_picture_batch(
+                    pics, words_per_lane=self.words_per_lane,
+                    max_slices=self.mb_h,
+                    geometry=(self.mb_w, self.mb_h))
+                sl, dup = self._pack_sharded(pics, b)
+                params = self._bucket_params(pics, self.n // n_sh)
+                row_args = tuple(
+                    pmesh.shard_lane_tree(self.mesh, jnp.asarray(sl[k]))
+                    for k in ("words", "start_bits", "rows", "alive",
+                              "pic_type", "full_pel", "r_size",
+                              "lane_of_row", "perm"))
+                lane_args = tuple(
+                    pmesh.shard_lane_tree(self.mesh, jnp.asarray(b[k]))
+                    for k in ("intra_q", "non_intra_q", "active"))
+            dec = self._get_sharded_pallas(*params, chunked=False)
+            with self.timers.measure("device_decode"):
+                self.frames, presented, info = dec(
+                    *row_args, *lane_args, self.frames)
+            pre_errors = pre_errors | dup
         elif active_any:
             self.events.log(Ev.DECODE_BATCH,
                             value=int(sum(p is not None for p in pics)))
@@ -456,11 +550,17 @@ class Fleet:
         n_ticks of latency; audio still decodes per tick (its batched
         call is cheap and its ring drains at tick rate).
 
-        Falls back to per-tick dispatch for hybrid/mesh configurations.
+        Falls back to per-tick dispatch for hybrid and for
+        mesh+device configurations; mesh+pallas chains the sharded
+        parser inside the scan (zero data-path ICI per shard).
         """
-        if self.mesh is not None or self.parser == "hybrid":
+        if self.parser == "hybrid" or (
+                self.mesh is not None and self.parser != "pallas"):
             return [self.tick(decode_audio, fetch_frames=fetch_frames)
                     for _ in range(n_ticks)]
+        if self.mesh is not None:
+            return self._run_chunk_mesh_pallas(
+                n_ticks, decode_audio, fetch_frames)
 
         import jax
         import jax.numpy as jnp
@@ -588,6 +688,104 @@ class Fleet:
                 audio_starved, audio_errors))
         return results
 
+
+    def _run_chunk_mesh_pallas(self, n_ticks: int, decode_audio: bool,
+                               fetch_frames: bool) -> list["TickResult"]:
+        """run_chunk for mesh + pallas: K ticks of the sharded
+        production parser chained in one lax.scan dispatch."""
+        from espflix_tpu.parallel import mesh as pmesh
+        n_sh = self.mesh.shape["streams"]
+        rowk = ("words", "start_bits", "rows", "alive", "pic_type",
+                "full_pel", "r_size", "lane_of_row", "perm")
+        gathered = []
+        packs = []
+        audio = []
+        dup_any = np.zeros(self.n, bool)
+        all_pics = []
+        for _ in range(n_ticks):
+            pics, pts, pre_errors = self._gather_pictures()
+            gathered.append((pics, pts, pre_errors))
+            all_pics.append(pics)
+            with self.timers.measure("batch_assemble"):
+                b = M.make_picture_batch(
+                    pics, words_per_lane=self.words_per_lane,
+                    max_slices=self.mb_h,
+                    geometry=(self.mb_w, self.mb_h))
+                sl, dup = self._pack_sharded(pics, b)
+            sl["intra_q"] = b["intra_q"]
+            sl["non_intra_q"] = b["non_intra_q"]
+            sl["active"] = b["active"]
+            packs.append(sl)
+            dup_any |= dup
+            audio.append(self._submit_audio(decode_audio))
+        Wp = max(p["words"].shape[1] for p in packs)
+        for p in packs:
+            w = p["words"]
+            if w.shape[1] < Wp:
+                p["words"] = np.pad(w, ((0, 0), (0, Wp - w.shape[1])))
+        keys = rowk + ("intra_q", "non_intra_q", "active")
+        stacked = pmesh.shard_axis1_tree(self.mesh, {
+            k: jnp.asarray(np.stack([p[k] for p in packs]))
+            for k in keys})
+        self.events.log(Ev.DECODE_BATCH, value=sum(
+            int(p["active"].sum()) for p in packs))
+        per_tick = [self._bucket_params(pics, self.n // n_sh)
+                    for pics in all_pics]
+        params = (max(p[0] for p in per_tick),
+                  max(p[1] for p in per_tick),
+                  max(p[2] for p in per_tick))
+        chunk_fn = self._get_sharded_pallas(*params, chunked=True)
+        with self.timers.measure("device_decode"):
+            self.frames, pres, errs = chunk_fn(stacked, self.frames)
+        with self.timers.measure("host_sync"):
+            if fetch_frames:
+                ys = np.asarray(pres["y"])
+                us = np.asarray(pres["u"])
+                vs = np.asarray(pres["v"])
+            else:
+                ys, us, vs = pres["y"], pres["u"], pres["v"]
+            errs = np.asarray(errs) | dup_any[None, :]
+        results = []
+        for t, (pics, pts, pre_errors) in enumerate(gathered):
+            video_lanes = np.array([p is not None for p in pics])
+            errors = errs[t].copy()
+            for i, p in enumerate(pics):
+                if p is not None and self.sessions[i] is not None:
+                    self.sessions[i].on_presented(p.pts)
+                    if errors[i]:
+                        self.events.log(Ev.LANE_ERROR, i)
+                        if self.sessions[i].resync():
+                            self.events.log(Ev.LANE_RESYNC, i)
+            (audio_device, host_pcm, audio_lanes, audio_starved,
+             pcm_width) = audio[t]
+            audio_errors = np.zeros(self.n, bool)
+            pcm = None
+            pcm_samples = np.zeros(self.n, np.int32)
+            if pcm_width:
+                pcm = np.zeros((self.n, pcm_width), np.int16)
+            for members, out, err_dev, ch in audio_device:
+                outn = np.asarray(out)
+                errn = np.asarray(err_dev)
+                if errn.ndim > 1:
+                    errn = errn.any(axis=tuple(range(1, errn.ndim)))
+                per = ch * 128
+                for i, fr in members:
+                    k = len(fr) * per
+                    pcm[i, :k] = outn[i, :k]
+                    pcm_samples[i] = k
+                    audio_lanes[i] = True
+                    if errn[i]:
+                        audio_errors[i] = True
+                        self.events.log(Ev.AUDIO_ERROR, i)
+            for i, p in host_pcm.items():
+                pcm[i, :len(p)] = p
+                pcm_samples[i] = len(p)
+                audio_lanes[i] = True
+            results.append(TickResult(
+                video_lanes, ys[t], us[t], vs[t], pts,
+                errors | pre_errors, audio_lanes, pcm, pcm_samples,
+                audio_starved, audio_errors))
+        return results
 
     # -- full-path chunk: decode + composite + PDM on device -------------
     def _update_osd(self):

@@ -126,3 +126,55 @@ def test_space_sharded_dense_bit_exact():
                                   np.asarray(frames_b[k])), k
         assert np.array_equal(np.asarray(frames_a["parity"]),
                               np.asarray(frames_b["parity"]))
+
+
+def test_sharded_pallas_decoder_matches_xla():
+    """The production parser under the mesh: shard_map'ed Pallas
+    bucketed scan + matmul scatter + dense phase over 8 virtual
+    devices, bit-exact vs the unsharded XLA decode (zero data-path
+    ICI; per-shard span sorting keeps every row shard-local)."""
+    from espflix_tpu.ops import scan_dense as SD
+    from espflix_tpu.tools.content import realistic_gop_script
+
+    rng = np.random.default_rng(1000)
+    seq, pics = M.parse_es(
+        E.encode_es(realistic_gop_script(rng, n_pictures=3)))
+    mbw, mbh = seq.mb_width, seq.mb_height
+    wpl = max((len(p.payload) + 3) // 4 + 4 for p in pics)
+    N = 16
+    mesh = PM.make_mesh()
+    n_sh = mesh.shape["streams"]
+    ln = N // n_sh
+    dec = PM.make_sharded_pallas_decoder(
+        mesh, mb_width=mbw, mb_height=mbh,
+        long_rows=max(8, min(2 * ln, ln * mbh // 2)),
+        steps_long=1024, steps_short=1024, interpret=True)
+
+    frames_s = PM.shard_lane_tree(
+        mesh, M.init_frame_state(N, mbw * 16, mbh * 16))
+    frames_r = M.init_frame_state(N, mbw * 16, mbh * 16)
+    for pic in pics[:2]:
+        b = M.make_picture_batch([pic] * N, words_per_lane=wpl,
+                                 max_slices=mbh)
+        sl, dup = SD.pack_slice_rows_sharded(b, n_sh, mbh)
+        assert not dup.any() and not sl["overflow"].any()
+        row_args = tuple(jnp.asarray(sl[k]) for k in (
+            "words", "start_bits", "rows", "alive", "pic_type",
+            "full_pel", "r_size", "lane_of_row", "perm"))
+        lane_args = tuple(jnp.asarray(b[k]) for k in (
+            "intra_q", "non_intra_q", "active"))
+        args = PM.shard_lane_tree(mesh, row_args + lane_args)
+        frames_s, pres_s, info_s = dec(*args, frames_s)
+        frames_r, pres_r, _ = M.decode_picture_batch(
+            *[jnp.asarray(b[k]) for k in (
+                "words", "slice_starts", "slice_rows", "n_slices",
+                "pic_type", "full_pel", "r_size", "intra_q",
+                "non_intra_q", "active")],
+            frames_r, mb_width=mbw, mb_height=mbh,
+            max_steps=wpl * 32)
+        assert not np.asarray(info_s["error"]).any()
+        for k in ("y", "u", "v"):
+            assert np.array_equal(np.asarray(pres_s[k]),
+                                  np.asarray(pres_r[k])), k
+        shard_devs = {s.device for s in pres_s["y"].addressable_shards}
+        assert len(shard_devs) == 8

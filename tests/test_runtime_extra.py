@@ -340,3 +340,40 @@ def test_fleet_run_chunk_matches_sync(service, parser):
         assert np.array_equal(a.v, b.v)
         assert np.array_equal(a.errors, b.errors)
         assert np.array_equal(a.pcm_samples, b.pcm_samples)
+
+
+def test_fleet_mesh_pallas_matches_single(service):
+    """The production Pallas parser under an 8-device 'streams' mesh
+    (tick + run_chunk chained dispatch) presents the same frames/PTS
+    as the unsharded pallas fleet."""
+    import jax
+
+    from espflix_tpu.parallel import mesh as PM
+
+    def build(mesh):
+        fleet = Fleet(8, words_per_lane=8192, parser="pallas",
+                      mesh=mesh)
+        for lane in range(8):
+            s = PlayerSession("file://" + service)
+            s.init_service()
+            s.nav(lane % 2)
+            s.play_pause()
+            fleet.attach(lane, s)
+        return fleet
+
+    mesh = PM.make_mesh()
+    f1, f2, f3 = build(None), build(mesh), build(mesh)
+    sync = [f1.tick(decode_audio=False) for _ in range(4)]
+    mtick = [f2.tick(decode_audio=False) for _ in range(4)]
+    chunk = f3.run_chunk(4, decode_audio=False)
+    for a, b, c in zip(sync, mtick, chunk):
+        for r in (b, c):
+            assert np.array_equal(a.video_lanes, r.video_lanes)
+            assert np.array_equal(a.pts, r.pts)
+            assert np.array_equal(np.asarray(a.y), np.asarray(r.y))
+            assert np.array_equal(np.asarray(a.u), np.asarray(r.u))
+            assert np.array_equal(np.asarray(a.v), np.asarray(r.v))
+            assert np.array_equal(a.errors, r.errors)
+    # the mesh fleet's frame state really is sharded over 8 devices
+    devs = {s.device for s in f2.frames["y"].addressable_shards}
+    assert len(devs) == 8
