@@ -412,19 +412,28 @@ class Fleet:
                 ring = s.feed.audio
                 if not (ring.discover(self._probe) and ring.frame_size):
                     continue
-                fr = ring.pop_frames(F)
-                if not fr:
-                    if s.state in (State.PLAYING, State.FAST_FORWARD,
-                                   State.REWIND) and not s.eos:
-                        audio_starved[i] = True
-                        self.events.log(Ev.AUDIO_STARVED, i)
-                    continue
                 if ring.blocks == 16:
+                    fa = ring.pop_frames_array(F)
+                    if fa is None:
+                        if s.state in (State.PLAYING,
+                                       State.FAST_FORWARD,
+                                       State.REWIND) and not s.eos:
+                            audio_starved[i] = True
+                            self.events.log(Ev.AUDIO_STARVED, i)
+                        continue
                     groups.setdefault(
                         (ring.frame_size, ring.channels), []) \
-                        .append((i, fr))
+                        .append((i, fa))
                 else:
                     # nonstandard block count: host scalar decode
+                    fr = ring.pop_frames(F)
+                    if not fr:
+                        if s.state in (State.PLAYING,
+                                       State.FAST_FORWARD,
+                                       State.REWIND) and not s.eos:
+                            audio_starved[i] = True
+                            self.events.log(Ev.AUDIO_STARVED, i)
+                        continue
                     s._host_audio = getattr(s, "_host_audio",
                                             SbcDecoder())
                     out = []
@@ -442,11 +451,10 @@ class Fleet:
                 arr = np.zeros((n, F, fs), np.uint8)
                 nval = np.zeros(n, np.int32)
                 act = np.zeros(n, bool)
-                for i, fr in members:
-                    nval[i] = len(fr)
+                for i, fa in members:
+                    nval[i] = len(fa)
                     act[i] = True
-                    for j, f in enumerate(fr):
-                        arr[i, j] = np.frombuffer(f, np.uint8)
+                    arr[i, :len(fa)] = fa
                 words = jnp.asarray(dsbc.frames_to_words(arr))
                 with self.timers.measure("audio_decode"):
                     out, self.sbc_state, err, _ = \
@@ -829,22 +837,21 @@ class Fleet:
                     (ring.frame_size, ring.channels) != self._aud_op \
                     or ring.blocks != 16:
                 continue
-            fr = ring.pop_frames(F)
-            if not fr:
+            fa = ring.pop_frames_array(F)
+            if fa is None:
                 if s.state in (State.PLAYING, State.FAST_FORWARD,
                                State.REWIND) and not s.eos:
                     starved[i] = True
                     self.events.log(Ev.AUDIO_STARVED, i)
                 continue
             act[i] = True
-            nval[i] = len(fr)
-            frames_list.append((i, fr))
+            nval[i] = len(fa)
+            frames_list.append((i, fa))
         fs = self._aud_op[0] if self._aud_op else 64
         ch = self._aud_op[1] if self._aud_op else 1
         arr = np.zeros((n, F, fs), np.uint8)
-        for i, fr in frames_list:
-            for j, f in enumerate(fr):
-                arr[i, j] = np.frombuffer(f, np.uint8)
+        for i, fa in frames_list:
+            arr[i, :len(fa)] = fa
         return dsbc.frames_to_words(arr), act, nval, starved, ch
 
     def run_chunk_full(self, n_ticks: int, tap_lanes=(),
@@ -983,6 +990,148 @@ class Fleet:
                 pts, errors | pre_errors,
                 audio_lanes=np.asarray(xs_t[t]["aud_act"]),
                 pcm=None, pcm_samples=None, audio_starved=starved,
+                audio_errors=audio_errs[t],
+                field_sum=fsum[t], pdm_sum=psum[t],
+                tap_fields=tap_f[t] if tap else None,
+                tap_pdm=tap_p[t] if tap else None))
+        return results
+
+
+    def run_chunk_full_pooled(self, pool, n_ticks: int, tap_lanes=(),
+                              steps_long: int = 1024,
+                              steps_short: int = 384
+                              ) -> list["TickResult"]:
+        """run_chunk_full with the session layer on a HostPool: the
+        per-tick Python control plane (pump, demux, segmentation,
+        slice packing) runs across worker processes; this process only
+        concatenates shard blobs, regroups the two symbol buckets and
+        dispatches the device chain.  OSD/beep/slide state still lives
+        in this fleet's OutputStage (drive it via pool.call +
+        fleet.output); session bookkeeping (presentation, resync)
+        routes back to the workers after the chunk."""
+        assert self.output is not None and self.parser == "pallas" \
+            and self.mesh is None
+        from espflix_tpu.runtime import chain as CH
+
+        F = self.audio_F
+        mbh = self.mb_h
+        NS = self.n * mbh
+        xs_t = []
+        meta = []
+        need_long = 8
+        for _ in range(n_ticks):
+            with self.timers.measure("batch_assemble"):
+                g = pool.gather_tick(F)
+            need_long = max(need_long, g["n_i"] * mbh)
+            meta.append(g)
+            snap = self.output.tick_state(F)
+            x = dict(g)
+            x["osd"] = snap["osd"]
+            x["blend"] = snap["blend"]
+            x["progress"] = snap["progress"]
+            x["parity"] = snap["parity"]
+            x["hscroll"] = snap["hscroll"]
+            x["beep_left"] = snap["beep_left"]
+            x["aud_words"] = dsbc.frames_to_words(g["aud"])
+            x["starved"] = g["starved"]
+            xs_t.append(x)
+
+        long_rows = M._quantize_pow2(min(need_long, max(NS // 2, 8)),
+                                     8, max(NS - 8, 8))
+        if need_long > NS // 2:
+            steps_short = steps_long
+
+        # regroup each tick's per-worker sorted rows into global
+        # (long | short) segments: workers put their longest rows
+        # first (span sort), so segment boundaries are the per-worker
+        # I-row counts -- a few big memcpys, no per-row permute
+        W = pool.w
+        ln = pool.ln
+        rowk = ("words", "start_bits", "rows", "alive", "pic_type",
+                "full_pel", "r_size", "lane_of_row")
+        Wp = max(x["words"].shape[1] for x in xs_t)
+        NSl = ln * mbh
+        for x in xs_t:
+            w = x["words"]
+            if w.shape[1] < Wp:
+                x["words"] = np.pad(w, ((0, 0), (0, Wp - w.shape[1])))
+            # globalize per-worker row/lane indices
+            x["lane_of_row"] = (
+                x["lane_of_row"].reshape(W, NSl)
+                + (np.arange(W, dtype=np.int32) * ln)[:, None]
+            ).reshape(-1)
+            p = x["perm"].astype(np.int64).reshape(W, -1)
+            dead = p >= NSl
+            p = p + (np.arange(W, dtype=np.int64) * NSl)[:, None]
+            p[dead] = NS
+            p = p.reshape(-1)
+            # span-sorted workers put their longest rows (I slices)
+            # first: bucket boundary per worker = its alive I rows
+            pt = x["pic_type"].reshape(W, NSl)
+            al = x["alive"].reshape(W, NSl)
+            n_long = ((pt == 1) & (al != 0)).sum(axis=1)
+            sel_long = np.zeros(NS, bool)
+            for k in range(W):
+                sel_long[k * NSl:k * NSl + n_long[k]] = True
+            order = np.concatenate([np.nonzero(sel_long)[0],
+                                    np.nonzero(~sel_long)[0]])
+            inv = np.empty(NS + 1, np.int64)
+            inv[order] = np.arange(NS)
+            inv[NS] = NS
+            for kk in rowk:
+                x[kk] = np.ascontiguousarray(x[kk][order])
+            x["perm"] = inv[p].astype(np.int32)
+
+        xs = {}
+        okeys = rowk + ("perm", "intra_q", "non_intra_q", "active",
+                        "osd", "blend", "progress", "parity",
+                        "hscroll", "beep_left", "aud_words", "aud_act",
+                        "aud_nval", "starved")
+        xs = {k: jnp.asarray(np.stack([x[k] for x in xs_t]))
+              for k in okeys}
+
+        scrolled = any((x["hscroll"] != 0).any() for x in xs_t)
+        sld = self.output.slide_planes()
+        if scrolled and sld is not None:
+            slide = tuple(jnp.asarray(s) for s in sld)
+        else:
+            scrolled = False
+            z = jnp.zeros((1, 1, 1), jnp.uint8)
+            slide = (z, z, z)
+        tap = len(tap_lanes)
+        tap_idx = jnp.asarray(
+            np.asarray(list(tap_lanes) or [0], np.int32))
+        ops = [g["aud_op"] for g in meta if g["aud_op"]]
+        ch = ops[0][1] if ops else 1
+
+        with self.timers.measure("device_decode"):
+            (self.frames, self.sbc_state, self.output.pdm_state,
+             outs) = CH.run_full_chunk(
+                xs, self.frames, self.sbc_state,
+                self.output.pdm_state, tap_idx, slide,
+                mb_width=self.mb_w, mb_height=self.mb_h,
+                n_lanes=self.n, long_rows=long_rows,
+                steps_long=steps_long, steps_short=steps_short,
+                n_aud_frames=F, channels=ch, pal=self.pal,
+                scrolled=scrolled, tap=tap,
+                interpret=self._pallas_interpret)
+
+        with self.timers.measure("host_sync"):
+            errs = np.asarray(outs["err"])
+            fsum = np.asarray(outs["field_sum"])
+            psum = np.asarray(outs["pdm_sum"])
+            audio_errs = np.asarray(outs["audio_err"])
+            tap_f = np.asarray(outs["tap_fields"]) if tap else None
+            tap_p = np.asarray(outs["tap_pdm"]) if tap else None
+
+        results = []
+        for t, g in enumerate(meta):
+            errors = errs[t] | g["pre_errors"]
+            pool.present(g["pts"], errors)
+            results.append(TickResult(
+                g["video"], None, None, None, g["pts"], errors,
+                audio_lanes=g["aud_act"], pcm=None, pcm_samples=None,
+                audio_starved=g["starved"],
                 audio_errors=audio_errs[t],
                 field_sum=fsum[t], pdm_sum=psum[t],
                 tap_fields=tap_f[t] if tap else None,

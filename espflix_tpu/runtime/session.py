@@ -19,19 +19,28 @@ import numpy as np
 from espflix_tpu.core.bitio import BitReader
 from espflix_tpu.core import vlc_tables as V
 from espflix_tpu.models.mpeg1 import PictureData, SequenceInfo
-from espflix_tpu.streaming.ts import TS_PACKET, AUDIO_PIDS, VIDEO_PID, \
-    parse_pts
+from espflix_tpu.streaming import native as NT
+from espflix_tpu.streaming.ts import TS_PACKET
 
 
 @dataclass
 class EsSegmenter:
-    """Incremental ES -> complete picture chunks with sequence context."""
+    """Incremental ES -> complete picture chunks with sequence context.
+
+    Start codes are scanned INCREMENTALLY (only bytes that arrived
+    since the last scan; found codes are cached and rebased when the
+    buffer head is consumed) -- the naive rescan made pop_picture
+    O(buffer^2) per session and dominated the 1k-lane host profile.
+    """
     seq: SequenceInfo | None = None
     _buf: bytearray = field(default_factory=bytearray)
     _pts_marks: deque = field(default_factory=deque)  # (offset, pts)
     _base: int = 0      # absolute offset of _buf[0]
     _eos: bool = False
     _last_pts: int = -1
+    _scanned: int = 0
+    _code_list: list = field(default_factory=list)
+    _seq_parsed_abs: int = -1
 
     def push(self, data: bytes):
         self._buf += data
@@ -43,11 +52,25 @@ class EsSegmenter:
         self._eos = True
 
     def _codes(self):
-        a = np.frombuffer(bytes(self._buf), np.uint8)
-        if len(a) < 4:
-            return []
-        hits = np.where((a[:-3] == 0) & (a[1:-2] == 0) & (a[2:-1] == 1))[0]
-        return [(int(p), int(a[p + 3])) for p in hits]
+        n = len(self._buf)
+        if n >= 4 and n > self._scanned:
+            a = np.frombuffer(self._buf, np.uint8)
+            start = max(self._scanned - 3, 0)
+            seg = a[start:]
+            hits = np.where((seg[:-3] == 0) & (seg[1:-2] == 0)
+                            & (seg[2:-1] == 1))[0]
+            if len(hits):
+                self._code_list.extend(
+                    (int(p) + start, int(seg[p + 3])) for p in hits)
+            self._scanned = n
+        return self._code_list
+
+    def _consume(self, end: int):
+        del self._buf[:end]
+        self._base += end
+        self._scanned = max(self._scanned - end, 0)
+        self._code_list = [(p - end, c) for p, c in self._code_list
+                           if p >= end]
 
     def _parse_seq(self, pos: int):
         r = BitReader(bytes(self._buf[pos + 4:pos + 4 + 140]))
@@ -72,8 +95,12 @@ class EsSegmenter:
                                       else pos, pic_pos)
                 if pend is None:
                     pend = pos
-                if code == 0xB3:
+                if code == 0xB3 and \
+                        self._base + pos != self._seq_parsed_abs:
+                    # parse each sequence header once (pop_picture can
+                    # walk over a buffered header many times)
                     self._parse_seq(pos)
+                    self._seq_parsed_abs = self._base + pos
             elif code == 0x00:
                 if pic_pos is not None:
                     return self._emit(pic_start,
@@ -95,15 +122,14 @@ class EsSegmenter:
     def _emit(self, start: int, end: int, pic_pos: int) -> PictureData:
         assert self.seq is not None, "picture before sequence header"
         chunk = bytes(self._buf[start:end])
-        # picture header fields
-        r = BitReader(bytes(self._buf[pic_pos + 4:pic_pos + 4 + 8]))
-        r.get(10)
-        ptype = r.get(3)
+        # picture header fields, direct byte math (temporal_ref 10b,
+        # type 3b; P adds vbv 16b, full_pel 1b, f_code 3b)
+        d = bytes(self._buf[pic_pos + 4:pic_pos + 4 + 8]) + b"\0" * 8
+        ptype = (d[1] >> 3) & 7
         full_pel = r_size = 0
         if ptype == 2:
-            r.get(16)
-            full_pel = r.get(1)
-            r_size = r.get(3) - 1
+            full_pel = (d[3] >> 2) & 1
+            r_size = (((d[3] & 3) << 1) | (d[4] >> 7)) - 1
         # PTS: newest mark at or before the picture position
         abs_pic = self._base + pic_pos
         while self._pts_marks and self._pts_marks[0][0] <= abs_pic:
@@ -112,18 +138,16 @@ class EsSegmenter:
 
         pic = PictureData(ptype, full_pel, r_size, self.seq, pts=pts)
         if ptype in (1, 2):
-            a = np.frombuffer(chunk, np.uint8)
-            hits = np.where((a[:-3] == 0) & (a[1:-2] == 0)
-                            & (a[2:-1] == 1))[0]
-            sl = [(int(p), int(a[p + 3])) for p in hits
-                  if 0x01 <= a[p + 3] <= 0xAF]
+            # slice start codes inside [start, end) are already in the
+            # incremental cache; no rescan of the chunk
+            sl = [(p - start, c) for p, c in self._code_list
+                  if start <= p < end and 0x01 <= c <= 0xAF]
             if sl:
                 base = sl[0][0]
                 pic.payload = chunk[base:]
                 pic.slice_offsets = [(p - base) * 8 + 32 for p, _ in sl]
                 pic.slice_rows = [c - 1 for _, c in sl]
-        del self._buf[:end]
-        self._base += end
+        self._consume(end)
         return pic
 
 
@@ -165,9 +189,32 @@ class SbcRing:
             del self.buf[:self.frame_size]
         return out
 
+    def pop_frames_array(self, max_frames: int):
+        """Up to max_frames frames as ONE uint8[k, frame_size] array
+        (single copy; the per-frame bytes loop showed up in the
+        1k-lane host profile)."""
+        fs = self.frame_size
+        if not fs:
+            return None
+        k = min(max_frames, len(self.buf) // fs)
+        if k == 0:
+            return None
+        out = np.frombuffer(self.buf, np.uint8)[:k * fs] \
+            .reshape(k, fs).copy()
+        del self.buf[:k * fs]
+        return out
+
 
 class StreamFeed:
-    """TS bytes in -> pictures + audio out (incremental)."""
+    """TS bytes in -> pictures + audio out (incremental).
+
+    Packet walking goes through the BULK demuxer -- the native C++
+    one (native/ts_demux.cpp via streaming/native.py) when built,
+    else the vectorized numpy walker -- instead of a per-packet
+    Python loop (the reference dedicates a core to this pump,
+    espflix.cpp:723-737; at 1k lanes the Python walk dominated the
+    host profile).
+    """
 
     def __init__(self):
         self.es = EsSegmenter()
@@ -180,38 +227,23 @@ class StreamFeed:
         data = self._tail + data
         n = len(data) // TS_PACKET
         self._tail = data[n * TS_PACKET:]
-        for k in range(n):
-            d = data[k * TS_PACKET:(k + 1) * TS_PACKET]
-            if d[0] != 0x47:
-                self.sync_lost = True
-                return
-            pid = ((d[1] << 8) | d[2]) & 0x1FFF
-            pusi = (d[1] & 0x40) != 0
-            ofs = 5 + d[4] if d[3] & 0x20 else 4
-            if not (d[3] & 0x10):
-                continue
-            payload = d[ofs:]
-            if pid == VIDEO_PID:
-                if pusi:
-                    flags = (payload[6] << 8) | payload[7]
-                    hdr = 9 + payload[8]
-                    if flags & 0x0080:
-                        pts = parse_pts(payload[9:14], flags)
-                        if pts != -1:
-                            self.es.mark_pts(pts)
-                    payload = payload[hdr:]
-                self.es.push(payload)
-            elif pid in AUDIO_PIDS:
-                pts = -1
-                if pusi:
-                    flags = (payload[6] << 8) | payload[7]
-                    hdr = 9 + payload[8]
-                    if flags & 0x0080:
-                        pts = parse_pts(payload[9:14], flags)
-                    payload = payload[hdr:]
-                    self._audio_started = True
-                if self._audio_started:
-                    self.audio.push(payload, pts)
+        if not n:
+            return
+        r = NT.demux_ts(data[:n * TS_PACKET], self._audio_started)
+        if r.sync_lost:
+            self.sync_lost = True
+        pos = 0
+        video = r.video
+        for off, pts in r.video_pts_marks:
+            if off > pos:
+                self.es.push(video[pos:off])
+                pos = off
+            self.es.mark_pts(pts)
+        if pos < len(video):
+            self.es.push(video[pos:])
+        for ch in r.audio:
+            self._audio_started = True
+            self.audio.push(ch.data, ch.pts)
 
     def eos(self):
         self.es.eos()

@@ -48,12 +48,13 @@ class DemuxResult:
     sync_lost: bool = False
 
 
-def demux_ts(data: bytes) -> DemuxResult:
+def demux_ts(data: bytes, audio_started: bool = False) -> DemuxResult:
+    """audio_started: an audio PES was already open when this buffer
+    begins (incremental feeds) -- its continuing payload is kept."""
     out = DemuxResult()
     video = bytearray()
     audio_expected = 0
     audio_mark = 0
-    audio_started = False
 
     n = len(data) // TS_PACKET
     for k in range(n):
@@ -103,7 +104,8 @@ def demux_ts(data: bytes) -> DemuxResult:
     return out
 
 
-def demux_ts_numpy(data: bytes) -> DemuxResult:
+def demux_ts_numpy(data: bytes,
+                   audio_started: bool = False) -> DemuxResult:
     """Vectorized single-stream demux: classifies all packets at once,
     then assembles.  ~20x faster than the scalar walker for long streams;
     identical output."""
@@ -112,7 +114,7 @@ def demux_ts_numpy(data: bytes) -> DemuxResult:
     a = a[:n * TS_PACKET].reshape(n, TS_PACKET)
     if n and (a[:, 0] != 0x47).any():
         # fall back to the scalar walker to reproduce stop-at-sync-loss
-        return demux_ts(data)
+        return demux_ts(data, audio_started)
     pid = ((a[:, 1].astype(np.int32) << 8) | a[:, 2]) & 0x1FFF
     pusi = (a[:, 1] & 0x40) != 0
     has_af = (a[:, 3] & 0x20) != 0
@@ -139,7 +141,6 @@ def demux_ts_numpy(data: bytes) -> DemuxResult:
 
     audio_expected = 0
     audio_mark = 0
-    audio_started = False
     aud_sel = np.where(np.isin(pid, AUDIO_PIDS) & has_pay)[0]
     for k in aud_sel:
         payload = a[k, ofs[k]:].tobytes()

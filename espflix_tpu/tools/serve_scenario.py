@@ -319,6 +319,83 @@ def run_scenario(fleet: Fleet, ticks: int, *, seed: int = 0,
     return stats, snap
 
 
+def run_pooled(args, url: str, shutdown):
+    """--workers mode: sessions sharded across host processes feeding
+    the full on-device chain (Fleet.run_chunk_full_pooled)."""
+    from espflix_tpu.runtime.hostpool import HostPool
+    from espflix_tpu.runtime.scheduler import Fleet
+
+    assert args.stage == "full", "--workers requires --stage full"
+    rng = np.random.default_rng(args.seed)
+    fleet = Fleet(args.lanes, words_per_lane=8192, parser="pallas",
+                  output=True)
+    pool = HostPool(args.lanes, args.workers, 8192, fleet.mb_w,
+                    fleet.mb_h)
+    try:
+        for i in range(args.lanes):
+            if not pool.attach(i, url):
+                raise RuntimeError("service bootstrap failed")
+            pool.call(i, "nav", i % args.titles)
+            pool.call(i, "play_pause")
+        K = 4
+        stats = ScenarioStats(lanes=args.lanes)
+        stats.frames_per_lane = np.zeros(args.lanes, np.int64)
+        t0 = time.time()
+        t = 0
+        while t < args.ticks:
+            # control churn between chunks: re-nav DONE lanes + a few
+            # scripted actions through the pool
+            for lane in range(args.lanes):
+                if pool.state(lane) == "DONE":
+                    pool.call(lane, "menu")
+                    pool.call(lane, "nav",
+                              int(rng.integers(0, args.titles)))
+                    pool.call(lane, "play_pause")
+                    stats.actions["lane_restart"] = \
+                        stats.actions.get("lane_restart", 0) + 1
+            if t:
+                lane = int(rng.integers(0, args.lanes))
+                pool.call(lane, "skip", 30)
+                stats.actions["skip_fwd"] = \
+                    stats.actions.get("skip_fwd", 0) + 1
+            k = min(K, args.ticks - t)
+            for r in fleet.run_chunk_full_pooled(pool, k,
+                                                 tap_lanes=(0,)):
+                stats.frames += int(r.video_lanes.sum())
+                stats.frames_per_lane += r.video_lanes.astype(np.int64)
+                stats.audio_lanes += int(r.audio_lanes.sum())
+                stats.errors += int(r.errors.sum())
+                stats.full_ticks += 1
+                if r.tap_fields is not None:
+                    stats.tap_field_bytes += int(
+                        np.asarray(r.tap_fields).size)
+            t += k
+        stats.wall_s = time.time() - t0
+        stats.ticks = args.ticks
+        out = {
+            "lanes": args.lanes, "ticks": stats.ticks,
+            "stage": "full", "dispatch": "full-pooled",
+            "workers": args.workers,
+            "full_ticks": stats.full_ticks,
+            "tap_field_bytes": stats.tap_field_bytes,
+            "min_lane_frames": int(stats.frames_per_lane.min()),
+            "frames": stats.frames,
+            "audio_lane_ticks": stats.audio_lanes,
+            "errors": stats.errors,
+            "actions": stats.actions,
+            "wall_s": round(stats.wall_s, 2),
+            "wall_per_tick_ms": round(
+                stats.wall_s / max(stats.ticks, 1) * 1000, 1),
+            "frames_per_s": round(
+                stats.frames / max(stats.wall_s, 1e-9), 1),
+        }
+        print(json.dumps(out))
+        return out
+    finally:
+        pool.close()
+        shutdown()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--lanes", type=int, default=64)
@@ -344,6 +421,11 @@ def main(argv=None):
                     help="device dispatch (default: pipelined for "
                          "--stage decode, full-chain chunks for "
                          "--stage full)")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="shard the session control plane across N "
+                         "host worker processes (runtime/hostpool.py;"
+                         " requires --stage full).  The host-side "
+                         "scaling knob: lanes/N per core.")
     args = ap.parse_args(argv)
     dispatch = args.dispatch or (
         "full" if args.stage == "full" else "pipelined")
@@ -361,6 +443,9 @@ def main(argv=None):
     else:
         url, shutdown = "file://" + root, (lambda: None)
     print(f"service at {url}", file=sys.stderr)
+
+    if args.workers:
+        return run_pooled(args, url, shutdown)
 
     fleet = build_fleet(url, args.lanes, args.titles,
                         stage=args.stage)

@@ -31,18 +31,22 @@ extern "C" {
 //   video_out: >= len bytes; *video_len written
 //   vmark_off/vmark_pts: up to max_marks entries; *n_vmarks written
 //   audio_out: >= len bytes; *audio_len written
-//   amark_off/amark_pts/amark_complete: audio PES marks
+//   amark_off/amark_pts: audio PES marks
+//   audio_started: nonzero if an audio PES was already open when this
+//   buffer begins (its continuing payload bytes are emitted)
 int ts_demux_bulk(const uint8_t* ts, long len,
                   uint8_t* video_out, long* video_len,
                   long* vmark_off, long long* vmark_pts, int* n_vmarks,
                   int max_marks,
                   uint8_t* audio_out, long* audio_len,
-                  long* amark_off, long long* amark_pts, int* n_amarks) {
+                  long* amark_off, long long* amark_pts, int* n_amarks,
+                  int audio_started) {
+    // audio_started carries the cross-call PES state: payload bytes of
+    // an audio PES that began in a PREVIOUS buffer must not be dropped
     long vpos = 0, apos = 0;
     int nv = 0, na = 0;
     int rc = 0;
     long n = len / PKT;
-    int audio_started = 0;
     for (long k = 0; k < n; k++) {
         const uint8_t* d = ts + k * PKT;
         if (d[0] != 0x47) { rc = -1; break; }
