@@ -282,6 +282,8 @@ class Fleet:
                 pre_errors[i] = True
                 s.park(f"geometry {p.seq.width}x{p.seq.height} != "
                        f"fleet {self.width}x{self.height}")
+                # structured geometry for the router (runtime/router.py)
+                s.park_geometry = (p.seq.width, p.seq.height)
                 continue
             if len(p.payload) // 4 + 4 > self.words_per_lane:
                 # transient oversize picture: drop it, flag the lane and

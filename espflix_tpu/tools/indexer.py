@@ -101,9 +101,11 @@ def encode_multi_gop(scripts: list[dict]) -> bytes:
     return es + b"\x00\x00\x01\xb7"
 
 
-def make_title(rng, n_gops=4, gop=12, fps=30, speed=15, audio_frames=None):
+def make_title(rng, n_gops=4, gop=12, fps=30, speed=15,
+               audio_frames=None, width=352, height=192):
     """Generate (video_ts, fwd_ts, rwd_ts, idx_bytes, poster_ts)."""
-    scripts = [realistic_gop_script(rng, n_pictures=gop)
+    scripts = [realistic_gop_script(rng, n_pictures=gop,
+                                    width=width, height=height)
                for _ in range(n_gops)]
     es = encode_multi_gop(scripts)
     per = 90000 // fps
@@ -119,7 +121,8 @@ def make_title(rng, n_gops=4, gop=12, fps=30, speed=15, audio_frames=None):
     # PTS compressed by `speed`
     n_total = n_gops * gop
     n_fwd = max(n_total // speed, 2)
-    fwd_scripts = [realistic_gop_script(rng, n_pictures=3)
+    fwd_scripts = [realistic_gop_script(rng, n_pictures=3,
+                                        width=width, height=height)
                    for _ in range(max(n_fwd // 3, 1))]
     fes = encode_multi_gop(fwd_scripts)
     _, fpics, ftrail = ts_mux.split_es_by_picture(fes)
@@ -135,7 +138,8 @@ def make_title(rng, n_gops=4, gop=12, fps=30, speed=15, audio_frames=None):
 
     idx = make_index(video_ts, fwd_ts, rwd_ts, speed)
 
-    poster_scripts = [realistic_gop_script(rng, n_pictures=1)]
+    poster_scripts = [realistic_gop_script(rng, n_pictures=1,
+                                           width=width, height=height)]
     poster_es = encode_multi_gop(poster_scripts)
     poster_ts = ts_mux.mux_video_es(poster_es, fps=fps)
     return video_ts, fwd_ts, rwd_ts, idx, poster_ts

@@ -257,3 +257,42 @@ def test_fleet_audio_default_is_realtime():
     assert Fleet(1, words_per_lane=64, tick_rate=25.0).audio_F == 15
     assert Fleet(1, words_per_lane=64,
                  audio_frames_per_tick=4).audio_F == 4
+
+
+def test_geometry_router_revives_parked_lane(tmp_path):
+    """The multi-geometry contract (runtime/router.py): a 352x240
+    stream PARKS in a 352x192 fleet with a LANE_GEOMETRY event, and
+    the router re-homes it to a fleet of its geometry where it
+    actually decodes."""
+    from espflix_tpu.runtime.player import PlayerSession
+    from espflix_tpu.runtime.router import FleetRouter
+    from espflix_tpu.runtime.scheduler import Fleet
+    from espflix_tpu.tools.indexer import make_service
+
+    service = str(tmp_path / "svc240")
+    make_service(service, ["tall"], seed=13, n_gops=2, gop=4,
+                 width=352, height=240)
+    s = PlayerSession("file://" + service)
+    assert s.init_service()
+    s.nav(0)
+    s.play_pause()
+    fleet = Fleet(1, words_per_lane=8192)      # 352x192 fleet
+    fleet.attach(0, s)
+    r = fleet.tick(decode_audio=False)
+    assert r.errors[0]
+    names = [e.ev for e in fleet.events.dump(10 ** 6)]
+    assert Ev.LANE_GEOMETRY in names
+    assert s.park_geometry == (352, 240)
+
+    router = FleetRouter(fleet, lanes_per_fleet=1,
+                         fleet_kwargs=dict(words_per_lane=8192))
+    assert router.route() == 1
+    assert fleet.sessions[0] is None
+    tall = router.fleets[(352, 240)]
+    assert tall.sessions[0] is s
+    frames = 0
+    for _ in range(6):
+        rr = tall.tick(decode_audio=False)
+        frames += int(rr.video_lanes[0])
+        assert not rr.errors[0]
+    assert frames >= 3, "re-homed lane never decoded"
