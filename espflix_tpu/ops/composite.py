@@ -36,6 +36,22 @@ OSD_W, OSD_H = 80, 16
 OSD_PROGRESS_W = 352 - OSD_W - 32  # 240
 
 
+def _interleave_pairs(a, b):
+    """[N, H, W] x2 int16 -> [N, H, 2W] uint8 as (a0, b0, a1, b1, ...).
+
+    Packs each (a, b) pair into one uint16 and bitcasts to bytes
+    (little-endian: byte 0 = low byte = a): ONE elementwise op + a
+    free reshape, replacing the stack+reshape relayout XLA lowers to
+    expensive shuffles at these shapes (measured on the composite
+    chain).  Values must fit uint8 (callers' DAC samples do).
+    """
+    packed = ((a.astype(jnp.int32) & 0xFF)
+              | ((b.astype(jnp.int32) & 0xFF) << 8)).astype(jnp.uint16)
+    by = jax.lax.bitcast_convert_type(packed, jnp.uint8)
+    N, H, W, _ = by.shape
+    return by.reshape(N, H, 2 * W)
+
+
 @functools.cache
 def _consts(pal: bool):
     g = T.Geometry(pal)
@@ -146,11 +162,7 @@ def synthesize_active(y, u, v, frame_parity, *, pal: bool):
     """
     cxa, cxb = _chroma_samples(u, v, pal=pal)
     sa, p0 = _luma_samples(y, frame_parity)
-    N, H, W = y.shape
-    ta = sa + cxa
-    tb = p0 + cxb
-    out = jnp.stack([ta, tb], axis=-1).reshape(N, H, 2 * W)
-    return out.astype(jnp.uint8)
+    return _interleave_pairs(sa + cxa, p0 + cxb)
 
 
 def _chroma_samples(u, v, *, pal: bool):
@@ -197,9 +209,17 @@ def _chroma_samples(u, v, *, pal: bool):
     cw2 = ((bias + k2v) & 0xFC) >> 2
     cw3 = ((bias + k3v) & 0xFC) >> 2
 
-    # phase-slot picks: sample 2x uses slot 3-(x&1), 2x+1 uses 1-(x&1)
-    cxa = jnp.stack([cw3, cw2], axis=-1).reshape(N, H, W)
-    cxb = jnp.stack([cw1, cw0], axis=-1).reshape(N, H, W)
+    # phase-slot picks: sample 2x uses slot 3-(x&1), 2x+1 uses 1-(x&1).
+    # Pack-as-uint32 interleave: (cw3, cw2) pairs -> one int32 with
+    # the two int16 values in byte order, bitcast back to int16 --
+    # replaces the stack+reshape relayout (cw* fit in 0..63)
+    def ilv16(hi_first, second):
+        w = ((hi_first.astype(jnp.int32) & 0xFFFF)
+             | (second.astype(jnp.int32) << 16))
+        h = jax.lax.bitcast_convert_type(w, jnp.int16)
+        return h.reshape(N, H, W)
+    cxa = ilv16(cw3, cw2)
+    cxb = ilv16(cw1, cw0)
     return cxa, cxb
 
 
@@ -274,8 +294,7 @@ def synthesize_field_pair(y, u, v, frame_parity, osd, osd_blend,
     fields = []
     for k in range(2):
         sa, p0 = _luma_samples(y, (frame_parity + k) & 1)
-        active = jnp.stack([sa + cxa, p0 + cxb],
-                           axis=-1).reshape(N, H, 2 * W)             .astype(jnp.uint8)
+        active = _interleave_pairs(sa + cxa, p0 + cxb)
         fields.append(synthesize_field(
             y, u, v, frame_parity, osd, osd_blend, osd_progress,
             pal=pal, active=active))

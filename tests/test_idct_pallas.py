@@ -1,6 +1,12 @@
 """Pallas fused dequant+IDCT kernel: bit-exact vs the jnp path."""
 
+import os
+
 import numpy as np
+
+# compiled Mosaic on real hardware when ESPFLIX_TEST_TPU=1 (the
+# recorded per-round TPU suite run); interpret mode on the CPU mesh
+INTERP = not bool(os.environ.get("ESPFLIX_TEST_TPU"))
 import jax.numpy as jnp
 
 from espflix_tpu.ops import idct as J
@@ -22,7 +28,7 @@ def test_pallas_idct_bit_exact_interpret():
         jnp.asarray(qmat), jnp.asarray(nfinal)))
     got = np.asarray(block_residuals_pallas(
         jnp.asarray(levels), jnp.asarray(intra), jnp.asarray(qscale),
-        jnp.asarray(qmat), jnp.asarray(nfinal), interpret=True))
+        jnp.asarray(qmat), jnp.asarray(nfinal), interpret=INTERP))
     assert np.array_equal(want, got)
 
 

@@ -5,7 +5,13 @@ produce bit-identical frames to the single-shard path (lane-local
 machinery only, SURVEY.md 2.3), and metric reduction must cross shards.
 """
 
+import os
+
 import numpy as np
+
+# compiled Mosaic on real hardware when ESPFLIX_TEST_TPU=1 (the
+# recorded per-round TPU suite run); interpret mode on the CPU mesh
+INTERP = not bool(os.environ.get("ESPFLIX_TEST_TPU"))
 import jax
 import jax.numpy as jnp
 
@@ -148,7 +154,7 @@ def test_sharded_pallas_decoder_matches_xla():
     dec = PM.make_sharded_pallas_decoder(
         mesh, mb_width=mbw, mb_height=mbh,
         long_rows=max(8, min(2 * ln, ln * mbh // 2)),
-        steps_long=1024, steps_short=1024, interpret=True)
+        steps_long=1024, steps_short=1024, interpret=INTERP)
 
     frames_s = PM.shard_lane_tree(
         mesh, M.init_frame_state(N, mbw * 16, mbh * 16))

@@ -7,7 +7,13 @@ all four half-pel phases, including edge MVs within the encoder's
 safe range, against a scalar numpy model of the exact MPEG-1 rounding
 (player.cpp:767-819 semantics)."""
 
+import os
+
 import numpy as np
+
+# compiled Mosaic on real hardware when ESPFLIX_TEST_TPU=1 (the
+# recorded per-round TPU suite run); interpret mode on the CPU mesh
+INTERP = not bool(os.environ.get("ESPFLIX_TEST_TPU"))
 import jax.numpy as jnp
 import pytest
 
@@ -114,5 +120,5 @@ def test_pallas_mocomp_matches_gather_reference():
         want = np.asarray(MC.predict_plane(
             ref, jnp.asarray(mh), jnp.asarray(mv), S))
         got = np.asarray(predict_plane_pallas(
-            ref, jnp.asarray(mh), jnp.asarray(mv), S, interpret=True))
+            ref, jnp.asarray(mh), jnp.asarray(mv), S, interpret=INTERP))
         assert np.array_equal(got, want), (N, H, W, S)

@@ -7,7 +7,13 @@ row layout, the windowed slice packing, grid grouping, the chunked
 emission DMA and the grouped scatter.
 """
 
+import os
+
 import numpy as np
+
+# compiled Mosaic on real hardware when ESPFLIX_TEST_TPU=1 (the
+# recorded per-round TPU suite run); interpret mode on the CPU mesh
+INTERP = not bool(os.environ.get("ESPFLIX_TEST_TPU"))
 import jax.numpy as jnp
 import pytest
 
@@ -42,7 +48,7 @@ def sliced_scan(b, mbw, mbh, max_steps, block_rows=512):
             "full_pel", "r_size")],
         mb_width=mbw, mb_count=mbw * mbh, max_steps=max_steps,
         out_groups=sl["out_groups"], block_rows=block_rows,
-        interpret=True)
+        interpret=INTERP)
 
 
 def assert_matches(b, mbw, mbh, max_steps=768, block_rows=512):
@@ -89,7 +95,7 @@ def test_whole_payload_kernel_matches():
         "full_pel", "r_size"))
     st0 = vlc_scan.initial_state(128, *args[1:])
     o = VP.run_scan_pallas(args[0], st0, mbw, mbw * mbh, wpl * 32,
-                           interpret=True)
+                           interpret=INTERP)
     for name, x, y in zip(("coeffs", "recs", "nfinal"), o[:3], w[:3]):
         assert np.array_equal(np.asarray(x), np.asarray(y)), name
 
@@ -126,7 +132,7 @@ def test_sorted_rows_match_xla():
                 "words", "start_bits", "rows", "alive", "pic_type",
                 "full_pel", "r_size", "lane_of_row")],
             mb_width=mbw, mb_count=mbw * mbh, max_steps=1024,
-            n_lanes=64, block_rows=256, interpret=True)
+            n_lanes=64, block_rows=256, interpret=INTERP)
         w = xla_scan(b, mbw, mbh, 1024 * mbh)
         for name, x, y in zip(("coeffs", "recs", "nfinal"),
                               o[:3], w[:3]):
@@ -158,7 +164,7 @@ def test_bucketed_dense_matmul_matches_xla():
             "full_pel", "r_size", "lane_of_row")],
         jnp.asarray(perm), mb_width=mbw, mb_height=mbh, n_lanes=n,
         long_rows=128, steps_long=1024, steps_short=384,
-        block_rows=256, interpret=True)
+        block_rows=256, interpret=INTERP)
     w = xla_scan(b, mbw, mbh, 1024 * mbh)
     for name, x, y in zip(("coeffs", "recs", "nfinal"), o[:3], w[:3]):
         assert np.array_equal(np.asarray(x), np.asarray(y)), name
@@ -184,7 +190,7 @@ def test_decode_sliced_matmul_scatter_planes_match():
             frames, pr, info = M.decode_picture_batch_sliced(
                 b, frames, mb_width=mbw, mb_height=mbh,
                 max_steps=1024, steps_short=384, block_rows=256,
-                scatter=mode, interpret=True)
+                scatter=mode, interpret=INTERP)
             assert not np.asarray(info["error"]).any()
             pres.append({k: np.asarray(v) for k, v in pr.items()})
         outs[mode] = pres
