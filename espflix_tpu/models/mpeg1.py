@@ -305,7 +305,8 @@ def decode_picture_impl(words, slice_starts, slice_rows, n_slices,
 def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
                   frames, *, mb_width: int, mb_height: int,
                   use_pallas_idct=None, use_pallas_mocomp=None,
-                  ref_planes=None, row0_mb: int = 0):
+                  ref_planes=None, row0_mb: int = 0,
+                  coeffs_T=None):
     """Shared dense phase: dequant+IDCT + mocomp + per-pixel compose.
 
     Consumes the scanner-format buffers (from the device FSM scan OR the
@@ -374,41 +375,68 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
                                                   mv_v >> 1, 8)
 
     # ---- residuals
-    levels = coeffs.astype(jnp.int32).reshape(N, mb_count, 6, 64)
     intra_mb = (recs & 3) == vlc_scan.MB_INTRA           # [N, MB]
-    intra_blk = jnp.broadcast_to(intra_mb[:, :, None], (N, mb_count, 6))
-    qs_blk = jnp.broadcast_to(
-        ((recs >> 2) & 31)[:, :, None], (N, mb_count, 6))
-    qmat = jnp.where(intra_blk[..., None],
-                     intra_q[:, None, None, :],
-                     non_intra_q[:, None, None, :])
-    if use_pallas_idct:
-        from espflix_tpu.ops.idct_pallas import block_residuals_pallas
-        res = block_residuals_pallas(
-            levels, intra_blk, qs_blk, qmat,
-            nfinal.reshape(N, mb_count, 6))              # [N,MB,6,8,8]
-        res = res.reshape(N, mb_count, 6, 64)
+    if coeffs_T is not None:
+        # transposed orientation (positions on sublanes, blocks on
+        # lanes): dequant/IDCT run on densely packed vregs
+        # (ops/idct.py block_residuals_T); the lane-minor form below
+        # pays ~16x padded layouts on its 8-wide slices
+        BL = mb_count * 6
+        intra_bl = jnp.repeat(intra_mb, 6, axis=1)       # [N, BL]
+        qs_bl = jnp.repeat((recs >> 2) & 31, 6, axis=1)
+        qmat_T = jnp.where(intra_bl[:, None, :],
+                           intra_q[:, :, None],
+                           non_intra_q[:, :, None])
+        res_T = idct_ops.block_residuals_T(
+            coeffs_T.astype(jnp.int32), intra_bl, qs_bl, qmat_T,
+            nfinal)                                      # [N, 64, BL]
+        rT = res_T.reshape(N, 8, 8, mb_height, mb_width, 6)
+        ry = rT[..., :4].reshape(
+            N, 8, 8, mb_height, mb_width, 2, 2) \
+            .transpose(0, 3, 5, 1, 4, 6, 2).reshape(N, H, W)
+        ru = rT[..., 4].transpose(0, 3, 1, 4, 2) \
+            .reshape(N, H // 2, W // 2)
+        rv = rT[..., 5].transpose(0, 3, 1, 4, 2) \
+            .reshape(N, H // 2, W // 2)
     else:
-        res = idct_ops.block_residuals_flat(
-            levels, intra_blk, qs_blk, qmat,
-            nfinal.reshape(N, mb_count, 6))              # [N,MB,6,64]
+        levels = coeffs.astype(jnp.int32).reshape(N, mb_count, 6, 64)
+        intra_blk = jnp.broadcast_to(intra_mb[:, :, None],
+                                     (N, mb_count, 6))
+        qs_blk = jnp.broadcast_to(
+            ((recs >> 2) & 31)[:, :, None], (N, mb_count, 6))
+        qmat = jnp.where(intra_blk[..., None],
+                         intra_q[:, None, None, :],
+                         non_intra_q[:, None, None, :])
+        if use_pallas_idct:
+            from espflix_tpu.ops.idct_pallas import \
+                block_residuals_pallas
+            res = block_residuals_pallas(
+                levels, intra_blk, qs_blk, qmat,
+                nfinal.reshape(N, mb_count, 6))          # [N,MB,6,8,8]
+            res = res.reshape(N, mb_count, 6, 64)
+        else:
+            res = idct_ops.block_residuals_flat(
+                levels, intra_blk, qs_blk, qmat,
+                nfinal.reshape(N, mb_count, 6))          # [N,MB,6,64]
 
-    # ---- assemble residual planes (flat layout: each plane row is a
-    # contiguous [2, 8] / [8] lane slice per MB, so assembly is slices
-    # + one stack instead of a 7-D transpose -- measured 2x at N=1024)
-    res = res.reshape(N, mb_height, mb_width, 6, 64)
-    yrows = []
-    for a in range(2):
-        for r in range(8):
-            s = res[:, :, :, 2 * a:2 * a + 2, 8 * r:8 * r + 8]
-            yrows.append(s.reshape(N, mb_height, W))
-    ry = jnp.stack(yrows, axis=2).reshape(N, H, W)
-    ru = jnp.stack([res[:, :, :, 4, 8 * r:8 * r + 8]
-                    .reshape(N, mb_height, W // 2)
-                    for r in range(8)], axis=2).reshape(N, H // 2, W // 2)
-    rv = jnp.stack([res[:, :, :, 5, 8 * r:8 * r + 8]
-                    .reshape(N, mb_height, W // 2)
-                    for r in range(8)], axis=2).reshape(N, H // 2, W // 2)
+        # ---- assemble residual planes (flat layout: each plane row
+        # is a contiguous [2, 8] / [8] lane slice per MB, so assembly
+        # is slices + one stack instead of a 7-D transpose)
+        res = res.reshape(N, mb_height, mb_width, 6, 64)
+        yrows = []
+        for a in range(2):
+            for r in range(8):
+                s = res[:, :, :, 2 * a:2 * a + 2, 8 * r:8 * r + 8]
+                yrows.append(s.reshape(N, mb_height, W))
+        ry = jnp.stack(yrows, axis=2).reshape(N, H, W)
+        ru = jnp.stack([res[:, :, :, 4, 8 * r:8 * r + 8]
+                        .reshape(N, mb_height, W // 2)
+                        for r in range(8)], axis=2) \
+            .reshape(N, H // 2, W // 2)
+        rv = jnp.stack([res[:, :, :, 5, 8 * r:8 * r + 8]
+                        .reshape(N, mb_height, W // 2)
+                        for r in range(8)], axis=2) \
+            .reshape(N, H // 2, W // 2)
 
     # ---- compose by MB kind
     def compose(cur, pred, resid, kind_mb, reps):
@@ -551,7 +579,8 @@ def decode_picture_batch_sliced(batch: dict, frames, *, mb_width: int,
                     n_lanes=n_lanes, long_rows=long_rows,
                     steps_long=max_steps, steps_short=steps_short,
                     chunk=128, block_rows=block_rows,
-                    interpret=interpret)
+                    interpret=interpret, transposed=True)
+            coeffs_T, coeffs = coeffs, None
             if dup.any():
                 err = err | jnp.asarray(dup)
         else:
@@ -569,12 +598,13 @@ def decode_picture_batch_sliced(batch: dict, frames, *, mb_width: int,
                     steps_long=max_steps, steps_short=steps_short,
                     chunk=128, block_rows=block_rows,
                     interpret=interpret)
+            coeffs_T = None
         new_frames, presented = dense_compose(
             coeffs, recs, nfinal, jnp.asarray(batch["intra_q"]),
             jnp.asarray(batch["non_intra_q"]),
             jnp.asarray(batch["active"]), frames,
             mb_width=mb_width, mb_height=mb_height,
-            use_pallas_idct=use_pallas_idct)
+            use_pallas_idct=use_pallas_idct, coeffs_T=coeffs_T)
         act = jnp.asarray(batch["active"])
         info = dict(error=err, ok=act & ~err,
                     iters=jnp.broadcast_to(iters, (len(batch["active"]),)))

@@ -140,6 +140,60 @@ def idct_8x8_flat(b64):
     return jnp.stack(o, axis=-1).reshape(*b64.shape[:-1], 64)
 
 
+def dequant_levels_T(levels_T, intra, qscale, qmat_T):
+    """dequant_levels in the transposed orientation: levels_T
+    int32[N, 64, B] (position axis on SUBLANES, blocks on lanes --
+    the vreg-friendly layout; an 8-wide minor axis pads 16x).
+    intra bool[N, B]; qscale int32[N, B]; qmat_T int32[N, 64, B]
+    (or broadcastable).  Returns int32[N, 64, B]."""
+    intra_b = intra[:, None, :]
+    v = levels_T * 2
+    sign = jnp.sign(v)
+    v = jnp.where(intra_b, v, v + sign)
+    num = v * qscale[:, None, :] * qmat_T
+    q = jnp.where(num < 0, -((-num) >> 4), num >> 4)
+    odd = jnp.where(q > 0, q - 1,
+                    jnp.where(q < 0, q + 1,
+                              jnp.where(levels_T != 0, 1, 0)))
+    q = jnp.where((q & 1) == 0, odd, q)
+    q = jnp.clip(q, -2048, 2047)
+    scale = jnp.asarray(V.SCALE_DCT_Q, jnp.int32)[None, :, None]
+    b = q * scale
+    pos0 = (jnp.arange(64) == 0)[None, :, None]
+    return jnp.where(intra_b & pos0, levels_T << 8, b)
+
+
+def idct_8x8_T(bT):
+    """Exact IDCT over int32[N, 64, B] with the position axis on the
+    sublane dimension: each butterfly input c[i] is a full [N, 8, B]
+    slab (contiguous sublane slice), so every op runs on densely
+    packed vregs; the row pass needs one (8, 8) position transpose --
+    an O(size) relayout instead of the 16x-padded skinny-slice
+    layouts the lane-minor form forces."""
+    N, _, B = bT.shape
+    c = [bT[:, 8 * i:8 * i + 8, :] for i in range(8)]
+    rows = _butterfly_parts(c, final=False)          # column pass
+    t = jnp.concatenate(rows, axis=1)                # [N, 64, B] p=8r+j
+    # (r, j) -> (j, r): row pass inputs become contiguous slabs
+    t = t.reshape(N, 8, 8, B).transpose(0, 2, 1, 3).reshape(N, 64, B)
+    c2 = [t[:, 8 * j:8 * j + 8, :] for j in range(8)]
+    o = _butterfly_parts(c2, final=True)             # row pass
+    o = jnp.concatenate(o, axis=1)                   # [N, 64, B] p=8j+r'
+    # back to raster order p = 8r'+j
+    return o.reshape(N, 8, 8, B).transpose(0, 2, 1, 3).reshape(N, 64, B)
+
+
+def block_residuals_T(levels_T, intra, qscale, qmat_T, nfinal):
+    """block_residuals in the transposed [N, 64, B] orientation
+    (bit-identical to block_residuals_flat on the transposed data)."""
+    b = dequant_levels_T(levels_T, intra, qscale, qmat_T)
+    full = idct_8x8_T(b)
+    dc = (b[:, 0, :] >> 8)[:, None, :]
+    shortcut = ((nfinal == 1) & ~intra)[:, None, :]
+    out = jnp.where(shortcut, jnp.broadcast_to(dc, full.shape), full)
+    return jnp.where((nfinal == 0)[:, None, :], 0, out)
+
+
 def block_residuals_flat(levels64, intra, qscale, qmat, nfinal):
     """block_residuals with flat [..., 64] output (see idct_8x8_flat)."""
     b = dequant_levels(levels64, intra, qscale, qmat)

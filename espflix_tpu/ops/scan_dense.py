@@ -159,13 +159,18 @@ def _decode_slots(liT, rowbase_mb, mb_width: int, mb_count: int):
 
 
 def log_to_dense_rows(log_idx, log_val, rowbase_mb, *, mb_width: int,
-                      mb_count: int):
+                      mb_count: int, transposed: bool = False):
     """[T, R] logs -> per-row dense windows via two one-hot matmuls.
 
     Returns (coef_rows int16[R, mb_width*6*64],
              aux_rows int32[R, mb_width, 8],  (cols 0-5 nfinal,
                                                col 6 rec lo, 7 rec hi)
              dropped bool[R]).
+
+    transposed=True emits coef_rows as int16[R, 64, mb_width*6]
+    instead (position axis leading): the dense phase's vreg-friendly
+    orientation (ops/idct.py block_residuals_T), produced for free by
+    swapping the contraction operands.
     """
     liT = log_idx.T
     lvT = log_val.T
@@ -184,10 +189,17 @@ def log_to_dense_rows(log_idx, log_val, rowbase_mb, *, mb_width: int,
     iota64 = jnp.arange(64, dtype=jnp.int32)
     Pc = jnp.where((pos_c[:, :, None] == iota64[None, None, :]) &
                    ok_c[:, :, None], val_f[:, :, None], 0.0)
-    out_c = jax.lax.dot_general(
-        Mc, Pc, (((2,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST)          # [R, TC, 64]
-    coef = out_c.astype(jnp.int32).astype(jnp.int16).reshape(R, TC * 64)
+    if transposed:
+        out_c = jax.lax.dot_general(
+            Pc, Mc, (((1,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)      # [R, 64, TC]
+        coef = out_c.astype(jnp.int32).astype(jnp.int16)
+    else:
+        out_c = jax.lax.dot_general(
+            Mc, Pc, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)      # [R, TC, 64]
+        coef = out_c.astype(jnp.int32).astype(jnp.int16) \
+            .reshape(R, TC * 64)
 
     # ---- aux window: rec (lo/hi 16-bit halves) + nfinal -------------
     iota_a = jnp.arange(mb_width, dtype=jnp.int32)
@@ -207,6 +219,27 @@ def log_to_dense_rows(log_idx, log_val, rowbase_mb, *, mb_width: int,
     aux = out_a.astype(jnp.int32)
 
     return coef, aux, dropped.any(axis=1)
+
+
+def assemble_dense_T(coef_rows_T, aux_rows, perm, *, n_lanes: int,
+                     mb_width: int, mb_height: int):
+    """assemble_dense for transposed coef rows ([NS, 64, TC]):
+    returns (coeffs_T int16[N, 64, mb_count*6], recs, nfinal)."""
+    mb_count = mb_width * mb_height
+    TC = mb_width * 6
+    cz = jnp.zeros((1,) + coef_rows_T.shape[1:], coef_rows_T.dtype)
+    az = jnp.zeros((1,) + aux_rows.shape[1:], aux_rows.dtype)
+    coef_p = jnp.concatenate([coef_rows_T, cz], axis=0)
+    aux_p = jnp.concatenate([aux_rows, az], axis=0)
+    coeffs_T = jnp.take(coef_p, perm, axis=0) \
+        .reshape(n_lanes, mb_height, 64, TC) \
+        .transpose(0, 2, 1, 3) \
+        .reshape(n_lanes, 64, mb_count * 6)
+    aux = jnp.take(aux_p, perm, axis=0).reshape(
+        n_lanes, mb_count, 8)
+    recs = aux[:, :, 6] | (aux[:, :, 7] << 16)
+    nfinal = aux[:, :, 0:6].reshape(n_lanes, mb_count * 6)
+    return coeffs_T, recs, nfinal
 
 
 def assemble_dense(coef_rows, aux_rows, perm, *, n_lanes: int,

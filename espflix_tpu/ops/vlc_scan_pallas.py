@@ -499,13 +499,14 @@ def run_scan_pallas_bucketed(words, start_bits, rows, alive, pic_type,
 @functools.partial(
     jax.jit, static_argnames=("mb_width", "mb_height", "n_lanes",
                               "long_rows", "steps_long", "steps_short",
-                              "chunk", "block_rows", "interpret"))
+                              "chunk", "block_rows", "interpret",
+                              "transposed"))
 def run_scan_pallas_bucketed_dense(
         words, start_bits, rows, alive, pic_type, full_pel, r_size,
         lane_of_row, perm, *, mb_width: int, mb_height: int,
         n_lanes: int, long_rows: int, steps_long: int,
         steps_short: int, chunk: int = 128, block_rows: int = 1024,
-        interpret: bool = False):
+        interpret: bool = False, transposed: bool = False):
     """Two-budget scan + MATMUL scatter (ops/scan_dense.py).
 
     Same inputs as run_scan_pallas_bucketed plus `perm` (int32
@@ -544,7 +545,7 @@ def run_scan_pallas_bucketed_dense(
         coef, aux, dropped = SD.log_to_dense_rows(
             li[:, :NSb], lv[:, :NSb],
             rows[lo:hi] * mb_width, mb_width=mb_width,
-            mb_count=mb_count)
+            mb_count=mb_count, transposed=transposed)
         bad = (out_state[STATE_KEYS.index("error")] != 0) | \
             (out_state[STATE_KEYS.index("state")] != VS.ST_DONE) | \
             dropped
@@ -554,7 +555,8 @@ def run_scan_pallas_bucketed_dense(
     cs, as_, bads, its = half(long_rows, NS, steps_short)
     coef_rows = jnp.concatenate([cl, cs], axis=0)
     aux_rows = jnp.concatenate([al_, as_], axis=0)
-    coeffs, recs, nfinal = SD.assemble_dense(
+    asm = SD.assemble_dense_T if transposed else SD.assemble_dense
+    coeffs, recs, nfinal = asm(
         coef_rows, aux_rows, perm, n_lanes=n_lanes,
         mb_width=mb_width, mb_height=mb_height)
     bad = jnp.concatenate([badl, bads])

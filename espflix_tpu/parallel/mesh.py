@@ -114,18 +114,18 @@ def make_sharded_pallas_decoder(mesh: Mesh, *, mb_width: int,
              r_size, lane_of_row, perm, intra_q, non_intra_q, active,
              frames):
         n_loc = active.shape[0]
-        coeffs, recs, nfinal, err, iters = \
+        coeffs_T, recs, nfinal, err, iters = \
             VP.run_scan_pallas_bucketed_dense(
                 words, start_bits, rows, alive, pic_type, full_pel,
                 r_size, lane_of_row, perm, mb_width=mb_width,
                 mb_height=mb_height, n_lanes=n_loc,
                 long_rows=long_rows, steps_long=steps_long,
                 steps_short=steps_short, chunk=128,
-                interpret=interpret)
+                interpret=interpret, transposed=True)
         frames, pres = Mm.dense_compose(
-            coeffs, recs, nfinal, intra_q, non_intra_q, active,
+            None, recs, nfinal, intra_q, non_intra_q, active,
             frames, mb_width=mb_width, mb_height=mb_height,
-            use_pallas_mocomp=not interpret)
+            use_pallas_mocomp=not interpret, coeffs_T=coeffs_T)
         info = dict(error=err, ok=active & ~err,
                     iters=jnp.broadcast_to(iters, (n_loc,)))
         return frames, pres, info

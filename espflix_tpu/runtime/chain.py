@@ -90,17 +90,17 @@ def run_full_chunk(xs, frames, sbc_state, ds_state, tap_idx, slide,
 
     def body(carry, x):
         frames, sbc_state, ds_state = carry
-        coeffs, recs, nfinal, err, _it = \
+        coeffs_T, recs, nfinal, err, _it = \
             VP.run_scan_pallas_bucketed_dense(
                 *[x[k] for k in DECODE_KEYS[:8]], x["perm"],
                 mb_width=mb_width, mb_height=mb_height,
                 n_lanes=n_lanes, long_rows=long_rows,
                 steps_long=steps_long, steps_short=steps_short,
-                chunk=128, interpret=interpret)
+                chunk=128, interpret=interpret, transposed=True)
         frames, p = M.dense_compose(
-            coeffs, recs, nfinal, x["intra_q"], x["non_intra_q"],
+            None, recs, nfinal, x["intra_q"], x["non_intra_q"],
             x["active"], frames, mb_width=mb_width,
-            mb_height=mb_height)
+            mb_height=mb_height, coeffs_T=coeffs_T)
 
         # ---- composite: both fields of the frame pair ---------------
         if scrolled:

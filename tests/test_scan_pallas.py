@@ -197,3 +197,51 @@ def test_decode_sliced_matmul_scatter_planes_match():
     for a, bq in zip(outs["serial"], outs["matmul"]):
         for k in ("y", "u", "v"):
             assert np.array_equal(a[k], bq[k]), k
+
+
+def test_transposed_dense_pipeline_matches():
+    """The transposed orientation (positions on sublanes: scatter dot
+    emits [R, 64, TC], dequant+IDCT via block_residuals_T, transposed
+    plane assembly) produces identical presented planes to the flat
+    path over an I+P GOP."""
+    from espflix_tpu.models.mpeg1 import dense_compose
+    from espflix_tpu.ops import scan_dense as SD
+
+    rng = np.random.default_rng(1000)
+    seq, pics = M.parse_es(
+        E.encode_es(realistic_gop_script(rng, n_pictures=3)))
+    mbw, mbh = seq.mb_width, seq.mb_height
+    n = 16
+    wpl = max((len(p.payload) + 3) // 4 + 4 for p in pics)
+    fr_a = M.init_frame_state(n, mbw * 16, mbh * 16)
+    fr_b = M.init_frame_state(n, mbw * 16, mbh * 16)
+    for p in pics:
+        b = M.make_picture_batch([p] * n, words_per_lane=wpl,
+                                 max_slices=mbh)
+        sl = VP.pack_slice_rows(b, sort_rows=True)
+        perm, dup = SD.row_perm(sl["lane_of_row"], sl["rows"],
+                                sl["alive"], n, mbh)
+        assert not dup.any()
+        args = [jnp.asarray(sl[k]) for k in (
+            "words", "start_bits", "rows", "alive", "pic_type",
+            "full_pel", "r_size", "lane_of_row")] + [jnp.asarray(perm)]
+        kw = dict(mb_width=mbw, mb_height=mbh, n_lanes=n,
+                  long_rows=64, steps_long=1024, steps_short=1024,
+                  block_rows=256, interpret=INTERP)
+        c, r, nf, err, _ = VP.run_scan_pallas_bucketed_dense(
+            *args, **kw)
+        cT, rT, nfT, errT, _ = VP.run_scan_pallas_bucketed_dense(
+            *args, transposed=True, **kw)
+        assert np.array_equal(np.asarray(r), np.asarray(rT))
+        assert np.array_equal(np.asarray(nf), np.asarray(nfT))
+        iq = jnp.asarray(b["intra_q"])
+        nq = jnp.asarray(b["non_intra_q"])
+        act = jnp.asarray(b["active"])
+        fr_a, pa = dense_compose(c, r, nf, iq, nq, act, fr_a,
+                                 mb_width=mbw, mb_height=mbh)
+        fr_b, pb = dense_compose(None, rT, nfT, iq, nq, act, fr_b,
+                                 mb_width=mbw, mb_height=mbh,
+                                 coeffs_T=cT)
+        for k in ("y", "u", "v"):
+            assert np.array_equal(np.asarray(pa[k]),
+                                  np.asarray(pb[k])), k
