@@ -453,16 +453,17 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
 
     live = active  # errored lanes keep partial decode (reference behavior)
 
-    def put(planes, new, parity):
-        onehot = jnp.arange(2, dtype=jnp.int32)[None, :, None, None] \
-            == parity[:, None, None, None]
-        upd = live[:, None, None, None] & onehot
-        return jnp.where(upd, new[:, None], planes)
+    def put(planes, new, cur, parity):
+        # scatter each lane's new plane into ITS parity slot: one
+        # [N,H,W] write instead of a where over both buffers (which
+        # rewrote 2x the plane bytes every tick)
+        upd = jnp.where(live[:, None, None], new, cur)
+        return planes.at[jnp.arange(planes.shape[0]), parity].set(upd)
 
     new_frames = dict(
-        y=put(frames["y"], new_y, parity),
-        u=put(frames["u"], new_u, parity),
-        v=put(frames["v"], new_v, parity),
+        y=put(frames["y"], new_y, cur_y, parity),
+        u=put(frames["u"], new_u, cur_u, parity),
+        v=put(frames["v"], new_v, cur_v, parity),
         parity=jnp.where(live, 1 - parity, parity),
     )
     presented = dict(

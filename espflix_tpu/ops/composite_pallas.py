@@ -1,0 +1,230 @@
+"""Pallas TPU kernel: both composite fields of a frame in one pass.
+
+The XLA composite chain (ops/composite.py) pays several full-canvas
+copies per field (template broadcast, active-region update at a
+non-tile-aligned offset, OSD/progress slice read-modify-writes) plus
+fusion-boundary intermediates -- ~14 ms of the 1024-lane tick while
+its arithmetic is <1 ms of VPU work.  This kernel keeps one lane's
+planes resident in VMEM and writes each field's canvas exactly once:
+
+  * the per-line templates (sync/burst/blanking/vsync, video.cpp:
+    806-934) arrive pre-packed as uint16 SAMPLE PAIRS (one int16 lane
+    = two DAC bytes, little-endian), so the canvas minor axis is
+    line_width/2 and the (even, odd) interleave is free bit packing;
+  * chroma QAM (parity-independent) is evaluated once and shared by
+    both fields (the ISR emits 60 fields/s per frame pair,
+    video.cpp:1122-1198);
+  * luma + dither, OSD text, fade and the progress bar composite as
+    full-canvas masked selects (no partial stores -- Mosaic lane
+    slices want 128-alignment), with the exact byte semantics of
+    composite.synthesize_field (pinned by tests/test_composite.py
+    equality on the unpacked bytes).
+
+The chain (runtime/chain.py) consumes the PACKED [N, 2, lines, W/2]
+int16 form directly (checksums/taps unpack on demand);
+synthesize_field_pair_pallas returns unpacked uint8 fields for the
+compat surfaces.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from espflix_tpu.ops import composite as CO
+from espflix_tpu.video import tables as T
+
+
+@functools.cache
+def _packed_consts(pal: bool):
+    """(templates int16[line_count, W/2], dither int16[2, 192, 352],
+    geometry)."""
+    g = T.Geometry(pal)
+    tm = CO._templates_cached(pal)
+    lines = np.arange(g.line_count)
+    if not pal:
+        tidx = np.where(lines >= g.vsync_start, 2, lines & 1)
+    else:
+        tidx = np.where(lines >= g.vsync_start,
+                        2 + (lines - g.vsync_start), lines & 1)
+    full = tm[tidx].astype(np.int32)                  # [L, W] bytes
+    packed = (full[:, 0::2] | (full[:, 1::2] << 8)).astype(np.int16)
+    dither = CO._dither_planes(192, 352).astype(np.int16)
+    return packed, dither, g
+
+
+def _pad2(x, top, left, L, W2):
+    """Static zero-pad a [h, w] block to canvas shape [L, W2]."""
+    h, w = x.shape
+    return jnp.pad(x, ((top, L - top - h), (left, W2 - left - w)))
+
+
+def _kernel(par_ref, blend_ref, prog_ref, y_ref, u_ref, v_ref,
+            osd_ref, tmpl_ref, dith_ref, out_ref, *, pal, g):
+    I32 = jnp.int32
+    bias = 2 * T.BLACK_LEVEL
+    L, W2 = tmpl_ref.shape
+
+    # ---- chroma QAM, shared by both fields (composite._chroma_samples)
+    u8 = u_ref[0].astype(I32)
+    v8 = v_ref[0].astype(I32)
+
+    def interp(c):
+        nxt = jnp.concatenate([c[1:], c[-1:]], axis=0)   # [96, 176]
+        c2 = jnp.concatenate([c[:, None], c[:, None]],
+                             axis=1).reshape(192, 176)
+        n2 = jnp.concatenate([nxt[:, None], nxt[:, None]],
+                             axis=1).reshape(192, 176)
+        odd = (jax.lax.broadcasted_iota(I32, (192, 176), 0) & 1) == 1
+        return jnp.where(odd, (c2 >> 1) + (n2 >> 1), c2)
+
+    ui = interp(u8)
+    vi = interp(v8)
+
+    def amp(c):
+        m = (128 - c) * T.BLACK_LEVEL
+        am = jnp.abs(m)
+        return jnp.sign(m) * ((2 * am + 33) // 66)
+
+    ru = amp(ui)
+    rv = amp(vi)
+    pu_m = jnp.clip(bias - ru, 0, 127)
+    pu_p = jnp.clip(bias + ru, 0, 127)
+    pv_m = jnp.clip(bias - rv, 0, 127)
+    pv_p = jnp.clip(bias + rv, 0, 127)
+    rows_odd = (jax.lax.broadcasted_iota(I32, (192, 176), 0) & 1) == 1
+    vsw = rows_odd if pal else jnp.zeros_like(rows_odd)
+    k2v = jnp.where(vsw, pv_p, pv_m)
+    k3v = jnp.where(vsw, pv_m, pv_p)
+    cw0 = ((pu_m + bias) & 0xFC) >> 2
+    cw1 = ((pu_p + bias) & 0xFC) >> 2
+    cw2 = ((bias + k2v) & 0xFC) >> 2
+    cw3 = ((bias + k3v) & 0xFC) >> 2
+    # per-PIXEL chroma: pixel x (sample pair 2x, 2x+1) uses slots
+    # (3-(x&1), 1-(x&1)); expand chroma cols 2x
+    def expand(a):                                     # [192,176]->352
+        return jnp.concatenate([a[:, :, None], a[:, :, None]],
+                               axis=2).reshape(192, 352)
+    col_odd = (jax.lax.broadcasted_iota(I32, (192, 352), 1) & 1) == 1
+    cxa = jnp.where(col_odd, expand(cw2), expand(cw3))
+    cxb = jnp.where(col_odd, expand(cw0), expand(cw1))
+
+    # ---- OSD overlay values (shared by both fields) ------------------
+    blend = blend_ref[0, 0]
+    scale = jnp.where((blend != -1) & (blend < 32),
+                      (63 * jnp.maximum(blend, 0)) >> 5,
+                      jnp.int32(63))
+    show = blend != 0
+    src = osd_ref[0].astype(I32)                       # [16, 80]
+    text = ((T.BLACK_LEVEL << 8) + src * scale) >> 8   # [16, 80]
+    text_pair = text | (text << 8)
+    c0 = ((T.BLACK_LEVEL << 8) + (scale << 8)) >> 8
+    c1 = ((T.BLACK_LEVEL << 8) + (scale << 7)) >> 8
+    units = jax.lax.broadcasted_iota(I32, (6, CO.OSD_PROGRESS_W), 1)
+    filled = (units & ~1) < prog_ref[0, 0]
+    bar_pair = jnp.where(filled, c0, c1)
+    bar_pair = bar_pair | (bar_pair << 8)              # [6, 240]
+
+    x0 = g.active_x0()
+    xp = x0 // 2
+    osd_xp = (x0 + 16) // 2
+    bar_xp = (x0 + 16 + 160 + 16) // 2
+
+    rows_i = jax.lax.broadcasted_iota(I32, (L, W2), 0)
+    cols_i = jax.lax.broadcasted_iota(I32, (L, W2), 1)
+    act_m = ((rows_i >= g.active_top) & (rows_i < g.active_top + 192)
+             & (cols_i >= xp) & (cols_i < xp + 352))
+    osd_m = ((rows_i >= g.osd_top) & (rows_i < g.osd_top + 16)
+             & (cols_i >= osd_xp) & (cols_i < osd_xp + 80)) & show
+    bar_m = ((rows_i >= g.osd_top + 3) & (rows_i < g.osd_top + 9)
+             & (cols_i >= bar_xp)
+             & (cols_i < bar_xp + CO.OSD_PROGRESS_W)) & show
+    osd_c = _pad2(text_pair, g.osd_top, osd_xp, L, W2)
+    bar_c = _pad2(bar_pair, g.osd_top + 3, bar_xp, L, W2)
+    tmpl32 = tmpl_ref[...].astype(I32) & 0xFFFF
+
+    y32 = y_ref[0].astype(I32)
+    for k in range(2):
+        # ---- luma + dither for this field's parity ------------------
+        par = (par_ref[0, 0] + k) & 1
+        d = jnp.where(par == 1, dith_ref[1].astype(I32),
+                      dith_ref[0].astype(I32))
+        P = (y32 + d) & 0xFC
+        p0 = P >> 2
+        z = jnp.zeros((192, 1), I32)
+        Pm1 = jnp.concatenate([z, P[:, :-1]], axis=1)
+        p0m1 = jnp.concatenate([z, p0[:, :-1]], axis=1)
+        xs4 = (jax.lax.broadcasted_iota(I32, (192, 352), 1) & 3) == 0
+        sa = jnp.where(xs4, (p0 + p0m1) >> 1,
+                       ((Pm1 >> 1) + (P >> 1)) >> 2)
+        active = ((sa + cxa) & 0xFF) | (((p0 + cxb) & 0xFF) << 8)
+        act_c = _pad2(active, g.active_top, xp, L, W2)
+
+        canvas = jnp.where(act_m, act_c, tmpl32)
+        canvas = jnp.where(osd_m, osd_c, canvas)
+        canvas = jnp.where(bar_m, bar_c, canvas)
+        out_ref[0, k] = canvas.astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("pal", "interpret"))
+def synthesize_field_pair_packed(y, u, v, frame_parity, osd, osd_blend,
+                                 osd_progress, *, pal: bool,
+                                 interpret: bool = False):
+    """Both fields, PACKED sample pairs: int16[N, 2, lines, width/2]
+    (lane k = DAC bytes 2k, 2k+1 little-endian).  unpack_fields()
+    recovers the uint8 canvas; byte-exact vs
+    composite.synthesize_field_pair."""
+    tmpl, dith, g = _packed_consts(pal)
+    N = y.shape[0]
+    L, W2 = tmpl.shape
+    smem = functools.partial(pl.BlockSpec, (1, 1), lambda n: (n, 0),
+                             memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, pal=pal, g=g),
+        grid=(N,),
+        in_specs=[
+            smem(), smem(), smem(),
+            pl.BlockSpec((1, 192, 352), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, 96, 176), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, 96, 176), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, 16, 80), lambda n: (n, 0, 0)),
+            pl.BlockSpec((L, W2), lambda n: (0, 0)),
+            pl.BlockSpec((2, 192, 352), lambda n: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, L, W2), lambda n: (n, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, 2, L, W2), jnp.int16),
+        interpret=interpret,
+    )(frame_parity.astype(jnp.int32)[:, None],
+      osd_blend.astype(jnp.int32)[:, None],
+      osd_progress.astype(jnp.int32)[:, None], y, u, v, osd,
+      jnp.asarray(tmpl), jnp.asarray(dith))
+    return out
+
+
+def unpack_fields(packed):
+    """int16[N, 2, L, W/2] -> uint8[N, 2, L, W]."""
+    by = jax.lax.bitcast_convert_type(packed, jnp.uint8)
+    N, F2, L, W2, _ = by.shape
+    return by.reshape(N, F2, L, W2 * 2)
+
+
+def packed_byte_sum(packed):
+    """Per-lane sum of the canvas BYTES from the packed form (equals
+    fields.astype(int32).sum() on the unpacked canvas)."""
+    v = packed.astype(jnp.int32) & 0xFFFF
+    return ((v & 0xFF) + (v >> 8)).sum(axis=(1, 2, 3),
+                                       dtype=jnp.int32)
+
+
+def synthesize_field_pair_pallas(y, u, v, frame_parity, osd, osd_blend,
+                                 osd_progress, *, pal: bool,
+                                 interpret: bool = False):
+    """Drop-in for composite.synthesize_field_pair (unpacked uint8)."""
+    return unpack_fields(synthesize_field_pair_packed(
+        y, u, v, frame_parity, osd, osd_blend, osd_progress, pal=pal,
+        interpret=interpret))

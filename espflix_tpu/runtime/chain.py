@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from espflix_tpu.models import mpeg1 as M
 from espflix_tpu.models import sbc as dsbc
 from espflix_tpu.ops import composite as CO
+from espflix_tpu.ops import composite_pallas as CP
 from espflix_tpu.ops import delta_sigma as DS
 
 # per-tick xs keys (stacked [K, ...] by the caller)
@@ -109,9 +110,12 @@ def run_full_chunk(xs, frames, sbc_state, ds_state, tap_idx, slide,
                 p["y"], p["u"], p["v"], sy, su, sv, x["hscroll"])
         else:
             ye, ue, ve = p["y"], p["u"], p["v"]
-        fields = CO.synthesize_field_pair(
+        # VMEM-resident field-pair kernel, byte-exact vs the XLA
+        # chain; the canvas stays PACKED (one int16 = two DAC bytes)
+        # until a consumer unpacks (ops/composite_pallas.py)
+        fields_p = CP.synthesize_field_pair_packed(
             ye, ue, ve, x["parity"], x["osd"], x["blend"],
-            x["progress"], pal=pal)
+            x["progress"], pal=pal, interpret=interpret)
 
         # ---- audio: SBC decode + beep/starve + delta-sigma ----------
         pcm, sbc_state, aerr, _ = dsbc.decode_frames_batched(
@@ -130,8 +134,7 @@ def run_full_chunk(xs, frames, sbc_state, ds_state, tap_idx, slide,
         out = dict(
             err=err,
             audio_err=aerr.any(axis=tuple(range(1, aerr.ndim))),
-            field_sum=fields.astype(jnp.int32).sum(
-                axis=(1, 2, 3), dtype=jnp.int32),
+            field_sum=CP.packed_byte_sum(fields_p),
             pdm_sum=pdm.sum(axis=1, dtype=jnp.int32),
         )
         if return_planes:
@@ -143,7 +146,8 @@ def run_full_chunk(xs, frames, sbc_state, ds_state, tap_idx, slide,
             out["ysum"] = p["y"].astype(jnp.int32).sum(
                 axis=(1, 2), dtype=jnp.int32)
         if tap:
-            out["tap_fields"] = jnp.take(fields, tap_idx[:tap], axis=0)
+            out["tap_fields"] = CP.unpack_fields(
+                jnp.take(fields_p, tap_idx[:tap], axis=0))
             out["tap_pdm"] = jnp.take(pdm, tap_idx[:tap], axis=0)
         return (frames, sbc_state, ds_state), out
 
