@@ -64,27 +64,18 @@ def _pad2(x, top, left, L, W2):
     return jnp.pad(x, ((top, L - top - h), (left, W2 - left - w)))
 
 
-def _kernel(par_ref, blend_ref, prog_ref, y_ref, u_ref, v_ref,
+def _kernel(par_ref, blend_ref, prog_ref, y_ref, ui_ref, vi_ref,
             osd_ref, tmpl_ref, dith_ref, out_ref, *, pal, g):
     I32 = jnp.int32
     bias = 2 * T.BLACK_LEVEL
     L, W2 = tmpl_ref.shape
 
     # ---- chroma QAM, shared by both fields (composite._chroma_samples)
-    u8 = u_ref[0].astype(I32)
-    v8 = v_ref[0].astype(I32)
-
-    def interp(c):
-        nxt = jnp.concatenate([c[1:], c[-1:]], axis=0)   # [96, 176]
-        c2 = jnp.concatenate([c[:, None], c[:, None]],
-                             axis=1).reshape(192, 176)
-        n2 = jnp.concatenate([nxt[:, None], nxt[:, None]],
-                             axis=1).reshape(192, 176)
-        odd = (jax.lax.broadcasted_iota(I32, (192, 176), 0) & 1) == 1
-        return jnp.where(odd, (c2 >> 1) + (n2 >> 1), c2)
-
-    ui = interp(u8)
-    vi = interp(v8)
+    # ui/vi arrive vertically interpolated AND column-doubled to
+    # [192, 352] (Mosaic cannot lower lane-merging reshapes, so the
+    # cheap repeats run outside; all the arithmetic is in here)
+    ui = ui_ref[0].astype(I32)
+    vi = vi_ref[0].astype(I32)
 
     def amp(c):
         m = (128 - c) * T.BLACK_LEVEL
@@ -97,7 +88,7 @@ def _kernel(par_ref, blend_ref, prog_ref, y_ref, u_ref, v_ref,
     pu_p = jnp.clip(bias + ru, 0, 127)
     pv_m = jnp.clip(bias - rv, 0, 127)
     pv_p = jnp.clip(bias + rv, 0, 127)
-    rows_odd = (jax.lax.broadcasted_iota(I32, (192, 176), 0) & 1) == 1
+    rows_odd = (jax.lax.broadcasted_iota(I32, (192, 352), 0) & 1) == 1
     vsw = rows_odd if pal else jnp.zeros_like(rows_odd)
     k2v = jnp.where(vsw, pv_p, pv_m)
     k3v = jnp.where(vsw, pv_m, pv_p)
@@ -106,16 +97,13 @@ def _kernel(par_ref, blend_ref, prog_ref, y_ref, u_ref, v_ref,
     cw2 = ((bias + k2v) & 0xFC) >> 2
     cw3 = ((bias + k3v) & 0xFC) >> 2
     # per-PIXEL chroma: pixel x (sample pair 2x, 2x+1) uses slots
-    # (3-(x&1), 1-(x&1)); expand chroma cols 2x
-    def expand(a):                                     # [192,176]->352
-        return jnp.concatenate([a[:, :, None], a[:, :, None]],
-                               axis=2).reshape(192, 352)
+    # (3-(x&1), 1-(x&1))
     col_odd = (jax.lax.broadcasted_iota(I32, (192, 352), 1) & 1) == 1
-    cxa = jnp.where(col_odd, expand(cw2), expand(cw3))
-    cxb = jnp.where(col_odd, expand(cw0), expand(cw1))
+    cxa = jnp.where(col_odd, cw2, cw3)
+    cxb = jnp.where(col_odd, cw0, cw1)
 
     # ---- OSD overlay values (shared by both fields) ------------------
-    blend = blend_ref[0, 0]
+    blend = blend_ref[0, 0, 0]
     scale = jnp.where((blend != -1) & (blend < 32),
                       (63 * jnp.maximum(blend, 0)) >> 5,
                       jnp.int32(63))
@@ -126,7 +114,7 @@ def _kernel(par_ref, blend_ref, prog_ref, y_ref, u_ref, v_ref,
     c0 = ((T.BLACK_LEVEL << 8) + (scale << 8)) >> 8
     c1 = ((T.BLACK_LEVEL << 8) + (scale << 7)) >> 8
     units = jax.lax.broadcasted_iota(I32, (6, CO.OSD_PROGRESS_W), 1)
-    filled = (units & ~1) < prog_ref[0, 0]
+    filled = (units & ~1) < prog_ref[0, 0, 0]
     bar_pair = jnp.where(filled, c0, c1)
     bar_pair = bar_pair | (bar_pair << 8)              # [6, 240]
 
@@ -151,7 +139,7 @@ def _kernel(par_ref, blend_ref, prog_ref, y_ref, u_ref, v_ref,
     y32 = y_ref[0].astype(I32)
     for k in range(2):
         # ---- luma + dither for this field's parity ------------------
-        par = (par_ref[0, 0] + k) & 1
+        par = (par_ref[0, 0, 0] + k) & 1
         d = jnp.where(par == 1, dith_ref[1].astype(I32),
                       dith_ref[0].astype(I32))
         P = (y32 + d) & 0xFC
@@ -182,7 +170,22 @@ def synthesize_field_pair_packed(y, u, v, frame_parity, osd, osd_blend,
     tmpl, dith, g = _packed_consts(pal)
     N = y.shape[0]
     L, W2 = tmpl.shape
-    smem = functools.partial(pl.BlockSpec, (1, 1), lambda n: (n, 0),
+
+    def prep(c):
+        # vertical interp (odd lines) + column doubling, as in
+        # composite._chroma_samples' prologue; uint8-exact
+        c = c.astype(jnp.int16)
+        c0 = jnp.repeat(c, 2, axis=1)
+        c1 = jnp.repeat(jnp.concatenate([c[:, 1:], c[:, -1:]], axis=1),
+                        2, axis=1)
+        odd = (jnp.arange(192) & 1)[None, :, None] == 1
+        ci = jnp.where(odd, (c0 >> 1) + (c1 >> 1), c0)
+        return jnp.repeat(ci, 2, axis=2).astype(jnp.uint8)
+
+    ui = prep(u)
+    vi = prep(v)
+    smem = functools.partial(pl.BlockSpec, (1, 1, 1),
+                             lambda n: (n, 0, 0),
                              memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, pal=pal, g=g),
@@ -190,8 +193,8 @@ def synthesize_field_pair_packed(y, u, v, frame_parity, osd, osd_blend,
         in_specs=[
             smem(), smem(), smem(),
             pl.BlockSpec((1, 192, 352), lambda n: (n, 0, 0)),
-            pl.BlockSpec((1, 96, 176), lambda n: (n, 0, 0)),
-            pl.BlockSpec((1, 96, 176), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, 192, 352), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, 192, 352), lambda n: (n, 0, 0)),
             pl.BlockSpec((1, 16, 80), lambda n: (n, 0, 0)),
             pl.BlockSpec((L, W2), lambda n: (0, 0)),
             pl.BlockSpec((2, 192, 352), lambda n: (0, 0, 0)),
@@ -199,9 +202,9 @@ def synthesize_field_pair_packed(y, u, v, frame_parity, osd, osd_blend,
         out_specs=pl.BlockSpec((1, 2, L, W2), lambda n: (n, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, 2, L, W2), jnp.int16),
         interpret=interpret,
-    )(frame_parity.astype(jnp.int32)[:, None],
-      osd_blend.astype(jnp.int32)[:, None],
-      osd_progress.astype(jnp.int32)[:, None], y, u, v, osd,
+    )(frame_parity.astype(jnp.int32)[:, None, None],
+      osd_blend.astype(jnp.int32)[:, None, None],
+      osd_progress.astype(jnp.int32)[:, None, None], y, ui, vi, osd,
       jnp.asarray(tmpl), jnp.asarray(dith))
     return out
 
