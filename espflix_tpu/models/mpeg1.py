@@ -18,6 +18,7 @@ strip-chunked Frame pair, player.h:37-39, SURVEY.md "memory layout").
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -337,6 +338,57 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
     ref_u = _take_parity(frames["u"], 1 - parity)
     ref_v = _take_parity(frames["v"], 1 - parity)
 
+    # fused mocomp+compose Pallas path: prediction windows, residual
+    # add, kind select and pin happen inside one VMEM-resident kernel
+    # (ops/mocomp_pallas.py compose_plane_pallas) -- no predicted or
+    # composed int32 planes ever hit HBM.  Measured on a real v5e it
+    # LOSES 3x to the unfused path (150 vs 456 rt streams/chip
+    # full-path): feeding the kernel requires materializing [N,H,W]
+    # residual PLANES via the 7-D transpose the flat-64 assembly was
+    # built to avoid, and the per-MB pl.when branches serialize
+    # (~440ns each, 264 MB x 1024 lanes).  Kept opt-in
+    # (use_pallas_mocomp="fused") as a bit-exact alternative and a
+    # recorded negative result, like use_pallas_idct above.
+    fused = (coeffs_T is not None and ref_planes is None
+             and use_pallas_mocomp == "fused")
+    if fused:
+        from espflix_tpu.ops.mocomp_pallas import compose_plane_pallas
+        interp = jax.default_backend() != "tpu"
+        intra_mb = (recs & 3) == vlc_scan.MB_INTRA
+        BL = mb_count * 6
+        intra_bl = jnp.repeat(intra_mb, 6, axis=1)
+        qs_bl = jnp.repeat((recs >> 2) & 31, 6, axis=1)
+        qmat_T = jnp.where(intra_bl[:, None, :],
+                           intra_q[:, :, None],
+                           non_intra_q[:, :, None])
+        res_T = idct_ops.block_residuals_T(
+            coeffs_T.astype(jnp.int32), intra_bl, qs_bl, qmat_T,
+            nfinal).astype(jnp.int16)                # [N, 64, BL]
+        rT = res_T.reshape(N, 8, 8, mb_height, mb_width, 6)
+        ry = rT[..., :4].reshape(
+            N, 8, 8, mb_height, mb_width, 2, 2) \
+            .transpose(0, 3, 5, 1, 4, 6, 2).reshape(N, H, W)
+        ru = rT[..., 4].transpose(0, 3, 1, 4, 2) \
+            .reshape(N, H // 2, W // 2)
+        rv = rT[..., 5].transpose(0, 3, 1, 4, 2) \
+            .reshape(N, H // 2, W // 2)
+        new_y = compose_plane_pallas(
+            ref_y, cur_y, ry, kind, mv_h, mv_v, active, 16,
+            interpret=interp)
+        new_u = compose_plane_pallas(
+            ref_u, cur_u, ru, kind, mv_h >> 1, mv_v >> 1, active, 8,
+            interpret=interp)
+        new_v = compose_plane_pallas(
+            ref_v, cur_v, rv, kind, mv_h >> 1, mv_v >> 1, active, 8,
+            interpret=interp)
+        new_frames = dict(
+            y=frames["y"].at[jnp.arange(N), parity].set(new_y),
+            u=frames["u"].at[jnp.arange(N), parity].set(new_u),
+            v=frames["v"].at[jnp.arange(N), parity].set(new_v),
+            parity=jnp.where(active, 1 - parity, parity),
+        )
+        return new_frames, dict(y=new_y, u=new_u, v=new_v)
+
     # ---- prediction (skip + inter MBs; zero MV elsewhere is harmless)
     if ref_planes is not None:
         # 'space'-sharded caller (parallel/mesh.py): this shard holds
@@ -354,8 +406,21 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
         use_pallas_mocomp = False
     else:
         if use_pallas_mocomp is None:
-            use_pallas_mocomp = jax.default_backend() == "tpu"
-        if use_pallas_mocomp:
+            if jax.default_backend() == "tpu":
+                # ESPFLIX_MOCOMP selects the TPU production variant:
+                # "pallas" (predict kernel + XLA compose) or "fused2"
+                # (branch-free fused mocomp+compose kernel)
+                v = os.environ.get("ESPFLIX_MOCOMP", "pallas")
+                use_pallas_mocomp = True if v == "pallas" else v
+            else:
+                use_pallas_mocomp = False
+        if use_pallas_mocomp == "fused2":
+            # branch-free fused mocomp+compose: prediction, residual
+            # add, pin and the kind/active select all happen inside
+            # compose_plane_pallas2 after residual-plane assembly;
+            # no predicted plane is ever materialized
+            pred_y = pred_u = pred_v = None
+        elif use_pallas_mocomp:
             # VMEM-resident roll-based window extraction: bit-identical,
             # 2.7x the one-hot MXU path at 1024 lanes (ops/mocomp_pallas)
             from espflix_tpu.ops.mocomp_pallas import \
@@ -387,9 +452,13 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
         qmat_T = jnp.where(intra_bl[:, None, :],
                            intra_q[:, :, None],
                            non_intra_q[:, :, None])
+        # int16 from here on: residuals are bounded well inside int16
+        # (post-IDCT samples; the reference clamps them to 0..248
+        # right after the add, player.cpp:183-236), and the halved
+        # vreg traffic pays through the plane transpose AND compose
         res_T = idct_ops.block_residuals_T(
             coeffs_T.astype(jnp.int32), intra_bl, qs_bl, qmat_T,
-            nfinal)                                      # [N, 64, BL]
+            nfinal).astype(jnp.int16)                    # [N, 64, BL]
         rT = res_T.reshape(N, 8, 8, mb_height, mb_width, 6)
         ry = rT[..., :4].reshape(
             N, 8, 8, mb_height, mb_width, 2, 2) \
@@ -418,6 +487,7 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
             res = idct_ops.block_residuals_flat(
                 levels, intra_blk, qs_blk, qmat,
                 nfinal.reshape(N, mb_count, 6))          # [N,MB,6,64]
+        res = res.astype(jnp.int16)
 
         # ---- assemble residual planes (flat layout: each plane row
         # is a contiguous [2, 8] / [8] lane slice per MB, so assembly
@@ -438,18 +508,39 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
                         for r in range(8)], axis=2) \
             .reshape(N, H // 2, W // 2)
 
-    # ---- compose by MB kind
+    # ---- compose by MB kind (int16 active chain; MB masks expand by
+    # broadcast-reshape, never a materialized int32 [N,H,W] kind map)
     def compose(cur, pred, resid, kind_mb, reps):
-        k = jnp.repeat(jnp.repeat(kind_mb, reps, axis=1), reps, axis=2)
-        stale = k == vlc_scan.MB_STALE
-        intra = k == vlc_scan.MB_INTRA
-        p = pred.astype(jnp.int32)
+        mh, mw = kind_mb.shape[1], kind_mb.shape[2]
+
+        def up(m):                       # bool[N,mbh,mbw] -> [N,H,W]
+            return jnp.broadcast_to(
+                m[:, :, None, :, None],
+                (N, mh, reps, mw, reps)).reshape(
+                    N, mh * reps, mw * reps)
+
+        stale = up(kind_mb == vlc_scan.MB_STALE)
+        intra = up(kind_mb == vlc_scan.MB_INTRA)
+        p = pred.astype(jnp.int16)
         out = jnp.where(intra, _pin(resid), _pin(p + resid))
         return jnp.where(stale, cur, out.astype(jnp.uint8))
 
-    new_y = compose(cur_y, pred_y, ry, kind, 16)
-    new_u = compose(cur_u, pred_u, ru, kind, 8)
-    new_v = compose(cur_v, pred_v, rv, kind, 8)
+    if pred_y is None:       # use_pallas_mocomp == "fused2"
+        from espflix_tpu.ops.mocomp_pallas import compose_plane_pallas2
+        interp = jax.default_backend() != "tpu"
+        new_y = compose_plane_pallas2(
+            ref_y, cur_y, ry, kind, mv_h, mv_v, active, 16,
+            interpret=interp)
+        new_u = compose_plane_pallas2(
+            ref_u, cur_u, ru, kind, mv_h >> 1, mv_v >> 1, active, 8,
+            interpret=interp)
+        new_v = compose_plane_pallas2(
+            ref_v, cur_v, rv, kind, mv_h >> 1, mv_v >> 1, active, 8,
+            interpret=interp)
+    else:
+        new_y = compose(cur_y, pred_y, ry, kind, 16)
+        new_u = compose(cur_u, pred_u, ru, kind, 8)
+        new_v = compose(cur_v, pred_v, rv, kind, 8)
 
     live = active  # errored lanes keep partial decode (reference behavior)
 

@@ -77,13 +77,274 @@ def _kernel(mvh_ref, mvv_ref, ref_ref, out_ref, *, S, H, W, WP, mbh,
                 w2 = pltpu.roll(vy, jnp.where(x0 == 0, 0, WP - x0), 1)
             sh = hx + hy
             out = (w2[:, 0:S] + hx * w2[:, 1:S + 1] + sh) >> sh
+            # store uint8 directly: an int32 out plane costs ~450 MB
+            # of extra HBM traffic per plane set (write + XLA re-read
+            # for the cast); rolls stay int32 internally (32-bit only)
             out_ref[0, pl.ds(pl.multiple_of(r * S, 8), S),
-                    c * S:(c + 1) * S] = out
+                    c * S:(c + 1) * S] = out.astype(jnp.uint8)
         for c in range(mbw):
             one_col(c)
         return 0
 
     jax.lax.fori_loop(0, mbh, mb_row, 0)
+
+
+def _compose_kernel(mvh_ref, mvv_ref, kind_ref, act_ref, ref_ref,
+                    cur_ref, res_ref, out_ref, band, *, S, H, W, WP,
+                    mbh, mbw, T):
+    """Fused mocomp + residual-add + kind-select + pin (see
+    compose_plane_pallas)."""
+    # active is the only per-lane scalar; Mosaic rejects (1, 1) SMEM
+    # blocks (tiling rule), so it arrives as the FULL [N, 1] array and
+    # is indexed by the grid position
+    act = act_ref[pl.program_id(0), 0]
+
+    @pl.when(act == 0)
+    def _():
+        # inactive lane: presented/new plane is the current one
+        out_ref[0] = cur_ref[0]
+
+    @pl.when(act != 0)
+    def _():
+        for r in range(mbh):            # static rows: all slices static
+            band[...] = cur_ref[0, r * S:(r + 1) * S, :] \
+                .astype(jnp.int32)
+
+            for c in range(mbw):
+                k = kind_ref[0, r, c]
+                res = res_ref[0, r * S:(r + 1) * S,
+                              c * S:(c + 1) * S].astype(jnp.int32)
+
+                @pl.when(k == 3)        # MB_INTRA
+                def _():
+                    band[:, c * S:(c + 1) * S] = \
+                        jnp.clip(res, 0, 248)
+
+                @pl.when((k == 1) | (k == 2))   # MB_SKIP / MB_INTER
+                def _():
+                    mh = mvh_ref[0, r, c]
+                    mv = mvv_ref[0, r, c]
+                    xh = c * 2 * S + mh
+                    yh = r * 2 * S + mv
+                    x0 = jnp.clip(xh >> 1, 0, W - S)
+                    y0 = jnp.clip(yh >> 1, 0, H - S)
+                    hx = xh & 1
+                    hy = yh & 1
+                    y0a = (y0 >> 3) << 3
+                    d = y0 - y0a
+                    win = ref_ref[0, pl.ds(pl.multiple_of(y0a, 8), T),
+                                  :]
+                    win = pltpu.roll(win,
+                                     jnp.where(d == 0, 0, T - d), 0)
+                    vy = win[0:S, :] + hy * win[1:S + 1, :]
+                    if WP == 384:
+                        lo = x0 < 128
+                        w2 = jnp.where(lo, vy[:, 0:256],
+                                       vy[:, WP - 256:WP])
+                        f = x0 - jnp.where(lo, 0, WP - 256)
+                        w2 = pltpu.roll(
+                            w2, jnp.where(f == 0, 0, 256 - f), 1)
+                    else:
+                        w2 = pltpu.roll(
+                            vy, jnp.where(x0 == 0, 0, WP - x0), 1)
+                    sh = hx + hy
+                    pred = (w2[:, 0:S] + hx * w2[:, 1:S + 1] + sh) \
+                        >> sh
+                    band[:, c * S:(c + 1) * S] = \
+                        jnp.clip(pred + res, 0, 248)
+                # k == 0 (MB_STALE): band keeps the current plane
+
+            out_ref[0, r * S:(r + 1) * S, :] = \
+                band[...].astype(jnp.uint8)
+
+
+def _compose2_kernel(mvh_ref, mvv_ref, pr_ref, ref_ref, cur_ref,
+                     res_ref, stale_ref, out_ref, band, *, S, H, W,
+                     WP, mbh, mbw, T):
+    """Branch-free fused mocomp + compose (see compose_plane_pallas2).
+
+    v1 (_compose_kernel) lost 3x to the unfused path: its per-MB
+    pl.when branches serialize (~0.4-0.9 us per MB visit).  Here the
+    MB loop is UNCONDITIONAL -- prediction is computed for every MB
+    exactly like _kernel, residuals join via a scalar multiply
+    (use_pred in {0,1} from SMEM), and the kind/active select happens
+    once per MB row as a full-width vectorized mask select against a
+    stale-mask plane built on the XLA side."""
+    def mb_row(r, _):
+        def one_col(c):
+            mh = mvh_ref[0, r, c]
+            mv = mvv_ref[0, r, c]
+            up = pr_ref[0, r, c]
+            xh = c * 2 * S + mh
+            yh = r * 2 * S + mv
+            x0 = jnp.clip(xh >> 1, 0, W - S)
+            y0 = jnp.clip(yh >> 1, 0, H - S)
+            hx = xh & 1
+            hy = yh & 1
+            y0a = (y0 >> 3) << 3
+            d = y0 - y0a
+            win = ref_ref[0, pl.ds(pl.multiple_of(y0a, 8), T), :]
+            win = pltpu.roll(win, jnp.where(d == 0, 0, T - d), 0)
+            vy = win[0:S, :] + hy * win[1:S + 1, :]
+            if WP == 384:
+                lo = x0 < 128
+                w2 = jnp.where(lo, vy[:, 0:256], vy[:, WP - 256:WP])
+                f = x0 - jnp.where(lo, 0, WP - 256)
+                w2 = pltpu.roll(w2, jnp.where(f == 0, 0, 256 - f), 1)
+            else:
+                w2 = pltpu.roll(vy, jnp.where(x0 == 0, 0, WP - x0), 1)
+            sh = hx + hy
+            pred = (w2[:, 0:S] + hx * w2[:, 1:S + 1] + sh) >> sh
+            res = res_ref[0, pl.ds(pl.multiple_of(r * S, 8), S),
+                          c * S:(c + 1) * S].astype(jnp.int32)
+            band[:, c * S:(c + 1) * S] = res + up * pred
+        for c in range(mbw):
+            one_col(c)
+        st = stale_ref[0, pl.ds(pl.multiple_of(r * S, 8), S), :] != 0
+        comp = jnp.clip(band[...], 0, 248).astype(jnp.uint8)
+        curb = cur_ref[0, pl.ds(pl.multiple_of(r * S, 8), S), :]
+        out_ref[0, pl.ds(pl.multiple_of(r * S, 8), S), :] = \
+            jnp.where(st, curb, comp)
+        return 0
+
+    jax.lax.fori_loop(0, mbh, mb_row, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("mb_size", "interpret"))
+def compose_plane_pallas2(ref, cur, res, kind, mv_h, mv_v, active,
+                          mb_size: int, interpret: bool = False):
+    """Branch-free fused mocomp+compose: one plane of the dense phase.
+
+    Same contract as compose_plane_pallas (bit-identical to the
+    XLA predict+compose path; reference semantics player.cpp:732-821
+    mocomp, :183-236 pin clamp, :1151-1236 copy/add; inactive lanes
+    pass the current plane through) but with no data-dependent
+    control flow inside the kernel: per-MB prediction is computed
+    unconditionally, residual joins via the use_pred scalar, the MB
+    kind select runs as one full-width masked select per MB row
+    against an XLA-built stale-mask plane (which also folds in
+    inactive lanes).
+
+    ref/cur: uint8[N, H, W]; res: int16[N, H, W]; kind: int32
+    [N, mbh, mbw]; mv_h/mv_v: int32[N, mbh, mbw] at THIS plane's
+    scale; active: bool[N].  Returns uint8[N, H, W]."""
+    N, H, W = ref.shape
+    mbh, mbw = kind.shape[1], kind.shape[2]
+    S = mb_size
+    assert mbh * S == H and mbw * S == W
+    T = _round_up(S + 1 + 7, 8)
+    HP = _round_up(H - S + T, 8)
+    WP = _round_up(W + 1, 128)
+    refp = jnp.pad(ref.astype(jnp.int32),
+                   ((0, 0), (0, HP - H), (0, WP - W)))
+    curp = jnp.pad(cur, ((0, 0), (0, 0), (0, WP - W)))
+    resp = jnp.pad(res, ((0, 0), (0, 0), (0, WP - W)))
+    # SKIP=1 / INTER=2 read the reference window; INTRA=3 is pure
+    # residual; STALE=0 keeps the current plane.  Inactive lanes are
+    # all-stale (kernel then copies cur through, values elsewhere
+    # don't matter).
+    use_pred = (((kind == 1) | (kind == 2))
+                & active[:, None, None]).astype(jnp.int32)
+    stale_mb = ((kind == 0) | ~active[:, None, None])
+    # per-PIXEL stale plane: dynamic sublane slices inside the kernel
+    # are only dependable at multiples of 8, so the mask arrives at
+    # the same [N, H, WP] geometry/alignment as cur (its HBM cost is
+    # one uint8 plane read; a [N, mbh, WP] row mask would need an
+    # unaligned (r, 1) sublane slice per band)
+    stale = jnp.broadcast_to(
+        stale_mb[:, :, None, :, None].astype(jnp.uint8),
+        (N, mbh, S, mbw, S)).reshape(N, H, W)
+    stale = jnp.pad(stale, ((0, 0), (0, 0), (0, WP - W)),
+                    constant_values=1)               # [N, H, WP]
+
+    out = pl.pallas_call(
+        functools.partial(_compose2_kernel, S=S, H=H, W=W, WP=WP,
+                          mbh=mbh, mbw=mbw, T=T),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, HP, WP), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, WP), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, WP), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, WP), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, WP), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H, WP), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((S, WP), jnp.int32)],
+        interpret=interpret,
+    )(mv_h, mv_v, use_pred, refp, curp, resp, stale)
+    return out[:, :, :W]
+
+
+@functools.partial(jax.jit, static_argnames=("mb_size", "interpret"))
+def compose_plane_pallas(ref, cur, res, kind, mv_h, mv_v, active,
+                         mb_size: int, interpret: bool = False):
+    """One plane of the dense phase's compose, fused with mocomp.
+
+    Replaces predict_plane + the XLA per-pixel compose
+    (models/mpeg1.py dense_compose): per MB, STALE keeps the current
+    plane, INTRA takes pin(residual), SKIP/INTER take
+    pin(halfpel_predict(ref, mv) + residual) with the reference's
+    exact rounding (player.cpp:732-821 mocomp, :183-236 pin clamp,
+    :1151-1236 copy/add); inactive lanes pass the current plane
+    through.  Bit-identical to the XLA path (tests/test_mocomp.py).
+
+    ref: uint8[N, H, W]; cur: uint8[N, H, W]; res: int16[N, H, W]
+    (residuals; zero where uncoded); kind: int32[N, mbh, mbw] (the
+    MB_* codes); mv_h/mv_v: int32[N, mbh, mbw] effective half-pel MVs
+    for THIS plane's scale; active: bool[N].  Returns uint8[N, H, W]
+    (the new current plane -- also the presented plane).
+    """
+    N, H, W = ref.shape
+    mbh, mbw = kind.shape[1], kind.shape[2]
+    S = mb_size
+    assert mbh * S == H and mbw * S == W
+    T = _round_up(S + 1 + 7, 8)
+    HP = _round_up(H - S + T, 8)
+    WP = _round_up(W + 1, 128)
+    refp = jnp.pad(ref.astype(jnp.int32),
+                   ((0, 0), (0, HP - H), (0, WP - W)))
+    curp = jnp.pad(cur, ((0, 0), (0, 0), (0, WP - W)))
+    resp = jnp.pad(res, ((0, 0), (0, 0), (0, WP - W)))
+
+    out = pl.pallas_call(
+        functools.partial(_compose_kernel, S=S, H=H, W=W, WP=WP,
+                          mbh=mbh, mbw=mbw, T=T),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((N, 1), lambda n: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, HP, WP), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, WP), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, WP), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, WP), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H, WP), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((S, WP), jnp.int32)],
+        interpret=interpret,
+    )(mv_h, mv_v, kind, active.astype(jnp.int32)[:, None], refp, curp,
+      resp)
+    return out[:, :, :W]
 
 
 @functools.partial(jax.jit,
@@ -119,7 +380,7 @@ def predict_plane_pallas(ref, mv_h, mv_v, mb_size: int,
         ],
         out_specs=pl.BlockSpec((1, H, WP), lambda n: (n, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, H, WP), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((N, H, WP), jnp.uint8),
         interpret=interpret,
     )(mv_h, mv_v, refp)
-    return out[:, :, :W].astype(jnp.uint8)
+    return out[:, :, :W]

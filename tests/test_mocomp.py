@@ -122,3 +122,67 @@ def test_pallas_mocomp_matches_gather_reference():
         got = np.asarray(predict_plane_pallas(
             ref, jnp.asarray(mh), jnp.asarray(mv), S, interpret=INTERP))
         assert np.array_equal(got, want), (N, H, W, S)
+
+
+@pytest.mark.parametrize("variant", ["fused", "fused2"])
+def test_fused_compose_matches_xla_dense_compose(variant):
+    """compose_plane_pallas / compose_plane_pallas2 via
+    dense_compose(use_pallas_mocomp="fused"/"fused2") must reproduce
+    the XLA predict+compose+put path bit-exactly: random MB kinds
+    (STALE/SKIP/INTER/INTRA), random in-range MVs, random residual
+    coefficients, inactive lanes."""
+    import jax.numpy as jnp
+
+    from espflix_tpu.models import mpeg1 as M
+
+    rng = np.random.default_rng(11)
+    # the full 352x192 geometry (WP=384 narrowed-roll case) compiles
+    # ~10 min in CPU interpret mode; run it only on real hardware
+    geoms = ((4, 2, 3), (1, 12, 22)) if not INTERP else ((4, 2, 3),)
+    for (N, mbh, mbw) in geoms:
+        H, W = mbh * 16, mbw * 16
+        mb = mbh * mbw
+        BL = mb * 6
+        frames = dict(
+            y=jnp.asarray(rng.integers(0, 249, (N, 2, H, W),
+                                       dtype=np.uint8)),
+            u=jnp.asarray(rng.integers(0, 249, (N, 2, H // 2, W // 2),
+                                       dtype=np.uint8)),
+            v=jnp.asarray(rng.integers(0, 249, (N, 2, H // 2, W // 2),
+                                       dtype=np.uint8)),
+            parity=jnp.asarray(
+                rng.integers(0, 2, N).astype(np.int32)))
+        kind = rng.integers(0, 4, (N, mb))
+        qs = rng.integers(1, 32, (N, mb))
+        mvh = rng.integers(-8, 9, (N, mb)).astype(np.int64)
+        mvv = rng.integers(-8, 9, (N, mb)).astype(np.int64)
+        recs = jnp.asarray(
+            (kind | (qs << 2) | ((mvh & 0xFFF) << 7)
+             | ((mvv & 0xFFF) << 19)).astype(np.int64)).astype(
+                 jnp.int32)
+        coeffs_T = jnp.asarray(
+            rng.integers(-60, 61, (N, 64, BL)).astype(np.int16))
+        nfinal = jnp.asarray(
+            rng.integers(0, 5, (N, BL)).astype(np.int32))
+        iq = jnp.asarray(np.broadcast_to(
+            np.asarray([8] + [16] * 63, np.int32), (N, 64)).copy())
+        nq = jnp.asarray(np.full((N, 64), 16, np.int32))
+        active = jnp.asarray(rng.integers(0, 2, N).astype(bool))
+        if N == 1:
+            active = jnp.ones((1,), bool)
+
+        want_f, want_p = M.dense_compose(
+            None, recs, nfinal, iq, nq, active, frames,
+            mb_width=mbw, mb_height=mbh, coeffs_T=coeffs_T,
+            use_pallas_mocomp=False)
+        got_f, got_p = M.dense_compose(
+            None, recs, nfinal, iq, nq, active, frames,
+            mb_width=mbw, mb_height=mbh, coeffs_T=coeffs_T,
+            use_pallas_mocomp=variant)
+        for k in ("y", "u", "v"):
+            assert np.array_equal(np.asarray(got_p[k]),
+                                  np.asarray(want_p[k])), (N, k)
+            assert np.array_equal(np.asarray(got_f[k]),
+                                  np.asarray(want_f[k])), (N, k)
+        assert np.array_equal(np.asarray(got_f["parity"]),
+                              np.asarray(want_f["parity"]))
