@@ -244,17 +244,31 @@ def run_scan_pallas(words, init_state, mb_width: int, mb_count: int,
     assert N % 128 == 0, "pad lanes to a multiple of 128"
     Wp = -(-W // 8) * 8
     max_steps = min(max_steps, 20000)
+    # the launch needs NB a multiple of SUB*128 (see _row_geometry);
+    # pad small batches with dead (ST_DONE) lanes
+    NP = -(-N // (SUB * 128)) * (SUB * 128)
 
     st = dict(init_state)
     st["error"] = st["error"].astype(jnp.int32)
     packed = jnp.stack([st[k].astype(jnp.int32) for k in STATE_KEYS])
+    if NP != N:
+        pad = NP - N
+        # zero padding parks the extra lanes: ST_DONE == 0
+        packed = jnp.pad(packed, ((0, 0), (0, pad)))
+        words = jnp.pad(words, ((0, pad), (0, 0)))
+        st["slice_starts"] = jnp.pad(st["slice_starts"],
+                                     ((0, pad), (0, 0)))
+        st["slice_rows"] = jnp.pad(st["slice_rows"],
+                                   ((0, pad), (0, 0)))
     words_t = jnp.pad(words, ((0, 0), (0, Wp - W))).T
     ss = st["slice_starts"].T.astype(jnp.int32)
     sr = st["slice_rows"].T.astype(jnp.int32)
 
     out_state, log_idx, log_val, iters = _launch(
         words_t, packed, ss, sr, mb_width=mb_width, mb_count=mb_count,
-        max_steps=max_steps, chunk=chunk, NB=N, interpret=interpret)
+        max_steps=max_steps, chunk=chunk, NB=NP, interpret=interpret)
+    out_state = out_state[:, :N]
+    log_idx, log_val = log_idx[:, :N], log_val[:, :N]
     coeffs, recs, nfinal = _scatter(log_idx, log_val, mb_count)
     fin = {k: out_state[i] for i, k in enumerate(STATE_KEYS)}
     fin["error"] = fin["error"] != 0
@@ -277,10 +291,14 @@ def _row_geometry(NS, block_rows):
     assert block_rows % SUB == 0
     # Mosaic requires VMEM slices on the lane dimension be 128-aligned,
     # and the launch reshapes a block's rows into (SUB, NB/SUB) lane
-    # tiles -- so NB must be at least SUB*128 (LN=128), not just a
-    # multiple of SUB.  Smaller row counts pad up with dead rows (they
-    # start ST_DONE and their grid blocks hit the all-done skip).
+    # tiles -- so NB must be a MULTIPLE of SUB*128 (LN a multiple of
+    # 128; the chunk-stripe DMA into the log slices the lane dim), not
+    # just a multiple of SUB.  block_rows is a perf knob: clamp it to
+    # the nearest usable value.  Smaller row counts pad up with dead
+    # rows (they start ST_DONE and their grid blocks hit the all-done
+    # skip).
     min_nb = SUB * 128
+    block_rows = max(min_nb, block_rows // min_nb * min_nb)
     NS8 = -(-NS // min_nb) * min_nb
     if NS8 > block_rows:
         return -(-NS8 // block_rows) * block_rows, block_rows

@@ -8,6 +8,7 @@ machinery only, SURVEY.md 2.3), and metric reduction must cross shards.
 import os
 
 import numpy as np
+import pytest
 
 # compiled Mosaic on real hardware when ESPFLIX_TEST_TPU=1 (the
 # recorded per-round TPU suite run); interpret mode on the CPU mesh
@@ -21,7 +22,9 @@ from espflix_tpu.tools import mpeg1_encode as E
 
 
 def test_sharded_decode_matches_single_shard():
-    assert len(jax.devices()) == 8
+    if len(jax.devices()) < 8:
+        # ESPFLIX_TEST_TPU run on the single-chip rig
+        pytest.skip("needs 8 devices")
     rng = np.random.default_rng(5)
     sc = E.random_script(rng, n_pictures=2, max_coeffs=8,
                          width=96, height=64)
@@ -139,6 +142,9 @@ def test_sharded_pallas_decoder_matches_xla():
     bucketed scan + matmul scatter + dense phase over 8 virtual
     devices, bit-exact vs the unsharded XLA decode (zero data-path
     ICI; per-shard span sorting keeps every row shard-local)."""
+    if len(jax.devices()) < 8:
+        # ESPFLIX_TEST_TPU run on the single-chip rig
+        pytest.skip("needs 8 devices")
     from espflix_tpu.ops import scan_dense as SD
     from espflix_tpu.tools.content import realistic_gop_script
 
