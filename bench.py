@@ -82,6 +82,10 @@ def main():
     ap.add_argument("--idct", choices=["auto", "pallas", "jnp"],
                     default="auto",
                     help="dequant+IDCT kernel (auto: jnp)")
+    ap.add_argument("--scrolled", action="store_true",
+                    help="include the buffer-flip hscroll slide path "
+                    "in the full chain (a nav-transition cost, off in "
+                    "steady-state serving)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -154,10 +158,19 @@ def main():
         aud = np.broadcast_to(frames_a, (lanes, F_A, 64))
         aud_words = jnp.asarray(dsbc.frames_to_words(
             np.ascontiguousarray(aud)))
-        osd = jnp.zeros((lanes, 16, 80), jnp.uint8)
-        blend = jnp.zeros(lanes, jnp.int32)
-        prog = jnp.zeros(lanes, jnp.int32)
-        par0 = jnp.zeros(lanes, jnp.int32)
+        # realistic per-lane output-stage state (all fixed-shape, so
+        # cost is value-independent -- nonzero values document that
+        # the stage is NOT measured at a degenerate configuration):
+        # live OSD text, mid-fade blends, scattered progress bars,
+        # mixed field parity
+        orng = np.random.default_rng(23)
+        osd = jnp.asarray(orng.integers(0, 256, (lanes, 16, 80),
+                                        dtype=np.uint8))
+        blend = jnp.asarray(orng.integers(0, 256, lanes,
+                                          dtype=np.int32))
+        prog = jnp.asarray(orng.integers(0, 352, lanes,
+                                         dtype=np.int32))
+        par0 = jnp.asarray(orng.integers(0, 2, lanes, dtype=np.int32))
 
         def init_carry():
             return (dsbc.init_state(lanes), DS.init_state(lanes))
@@ -283,30 +296,47 @@ def main():
                            np.uint8) for _ in range(F_A)])
         aw = dsbc.frames_to_words(np.ascontiguousarray(
             np.broadcast_to(frames_a, (lanes, F_A, 64))))
-        z = np.zeros((K, lanes), np.int32)
+        # realistic nonzero per-lane output state (fixed shapes: cost
+        # is value-independent; nonzero pins that the stage is not
+        # measured at a degenerate all-zeros configuration)
+        orng = np.random.default_rng(23)
         xs.update(
-            osd=np.zeros((K, lanes, 16, 80), np.uint8),
-            blend=z, progress=z, parity=z, beep_left=z,
+            osd=orng.integers(0, 256, (K, lanes, 16, 80),
+                              dtype=np.uint8).astype(np.uint8),
+            blend=orng.integers(0, 256, (K, lanes)).astype(np.int32),
+            progress=orng.integers(0, 352, (K, lanes)).astype(
+                np.int32),
+            parity=orng.integers(0, 2, (K, lanes)).astype(np.int32),
+            beep_left=orng.integers(0, 3, (K, lanes)).astype(np.int32),
             aud_words=np.broadcast_to(aw, (K,) + aw.shape).copy(),
             aud_act=np.ones((K, lanes), bool),
             aud_nval=np.full((K, lanes), F_A, np.int32),
-            starved=np.zeros((K, lanes), bool),
+            starved=(orng.random((K, lanes)) < 0.01),
         )
+        if args.scrolled:
+            xs["hscroll"] = orng.integers(
+                0, 352, (K, lanes)).astype(np.int32)
         xs = {k: jnp.asarray(v) for k, v in xs.items()}
         tap_idx = jnp.zeros((1,), jnp.int32)
         zz = jnp.zeros((1, 1, 1), jnp.uint8)
+        if args.scrolled:
+            slide_planes = tuple(jnp.asarray(orng.integers(
+                0, 249, (lanes, h_, w_), dtype=np.uint8))
+                for h_, w_ in ((192, 352), (96, 176), (96, 176)))
+        else:
+            slide_planes = (zz, zz, zz)
         interp = platform != "tpu"
         NS = lanes * mbh
         long_rows = min(2 * lanes, NS // 2)
 
         def gop(frames, sbc, ds):
             frames, sbc, ds, outs = CH.run_full_chunk(
-                xs, frames, sbc, ds, tap_idx, (zz, zz, zz),
+                xs, frames, sbc, ds, tap_idx, slide_planes,
                 mb_width=mbw, mb_height=mbh, n_lanes=lanes,
                 long_rows=long_rows, steps_long=1024,
                 steps_short=384, n_aud_frames=F_A, channels=1,
-                pal=PAL, scrolled=False, tap=0, interpret=interp,
-                return_planes=False)
+                pal=PAL, scrolled=args.scrolled, tap=0,
+                interpret=interp, return_planes=False)
             chk = (outs["ysum"].sum() + outs["field_sum"].sum()
                    + outs["pdm_sum"].sum() + outs["err"].sum())
             return frames, sbc, ds, chk
