@@ -449,16 +449,26 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
         BL = mb_count * 6
         intra_bl = jnp.repeat(intra_mb, 6, axis=1)       # [N, BL]
         qs_bl = jnp.repeat((recs >> 2) & 31, 6, axis=1)
-        qmat_T = jnp.where(intra_bl[:, None, :],
-                           intra_q[:, :, None],
-                           non_intra_q[:, :, None])
         # int16 from here on: residuals are bounded well inside int16
         # (post-IDCT samples; the reference clamps them to 0..248
         # right after the add, player.cpp:183-236), and the halved
         # vreg traffic pays through the plane transpose AND compose
-        res_T = idct_ops.block_residuals_T(
-            coeffs_T.astype(jnp.int32), intra_bl, qs_bl, qmat_T,
-            nfinal).astype(jnp.int16)                    # [N, 64, BL]
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("ESPFLIX_IDCT", "jnp") == "pallasT"):
+            # one VMEM-resident pass: the jnp chain's butterfly
+            # concats and position transposes are HBM relayouts
+            from espflix_tpu.ops.idct_pallas import \
+                block_residuals_T_pallas
+            res_T = block_residuals_T_pallas(
+                coeffs_T, intra_bl, qs_bl, intra_q, non_intra_q,
+                nfinal)                                  # [N, 64, BL]
+        else:
+            qmat_T = jnp.where(intra_bl[:, None, :],
+                               intra_q[:, :, None],
+                               non_intra_q[:, :, None])
+            res_T = idct_ops.block_residuals_T(
+                coeffs_T.astype(jnp.int32), intra_bl, qs_bl, qmat_T,
+                nfinal).astype(jnp.int16)                # [N, 64, BL]
         rT = res_T.reshape(N, 8, 8, mb_height, mb_width, 6)
         ry = rT[..., :4].reshape(
             N, 8, 8, mb_height, mb_width, 2, 2) \

@@ -153,3 +153,104 @@ def block_residuals_pallas(levels, intra, qscale, qmat, nfinal,
         interpret=interpret,
     )(lv, qs, meta)
     return out[:B, :64].reshape(N, MB, 6, 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# transposed (sublane-major) form -- the production orientation
+
+
+def _regroup8(slabs):
+    """Regroup eight (8, L) slabs: out[a][b] = slabs[b][a] -- an
+    (8, 8) position transpose expressed as 64 static single-sublane
+    slices (Mosaic does not lower strided sublane slicing).  The
+    pattern is self-inverse."""
+    return [jnp.concatenate([slabs[b][a:a + 1, :] for b in range(8)],
+                            axis=0) for a in range(8)]
+
+
+def _kernel_T(coef_ref, intra_ref, qs_ref, nf_ref, iq_ref, nq_ref,
+              scale_ref, out_ref):
+    from espflix_tpu.ops.idct import _butterfly_parts
+    lev = coef_ref[0].astype(jnp.int32)          # (64, BLp)
+    intra = intra_ref[0] != 0                    # (1, BLp)
+    qs = qs_ref[0]                               # (1, BLp)
+    nf = nf_ref[0]                               # (1, BLp)
+    qmat = jnp.where(intra, iq_ref[0], nq_ref[0])  # (64,1)x(1,BLp) bc
+
+    # exact dequant (player.cpp:1110-1121; mirrors idct.dequant_levels_T)
+    v = lev * 2
+    sign = jnp.sign(v)
+    v = jnp.where(intra, v, v + sign)
+    num = v * qs * qmat
+    q = jnp.where(num < 0, -((-num) >> 4), num >> 4)
+    odd = jnp.where(q > 0, q - 1,
+                    jnp.where(q < 0, q + 1,
+                              jnp.where(lev != 0, 1, 0)))
+    q = jnp.where((q & 1) == 0, odd, q)
+    q = jnp.clip(q, -2048, 2047)
+    b = q * scale_ref[0]                         # (64, 1) broadcast
+    pos0 = jax.lax.broadcasted_iota(
+        jnp.int32, b.shape, 0) == 0
+    b = jnp.where(intra & pos0, lev << 8, b)
+
+    # column pass: slab i = positions (r=i, j=0..7) on sublanes
+    c = [b[8 * i:8 * i + 8, :] for i in range(8)]
+    rows = _butterfly_parts(c, final=False)      # rows[k]: (r'=k, j)
+    c2 = _regroup8(rows)                         # c2[j][r'] = rows[r'][j]
+    o = _butterfly_parts(c2, final=True)         # o[m]: (j'=m, r')
+    outs = _regroup8(o)                          # outs[r'][j'] = o[j'][r']
+    full = jnp.concatenate(outs, axis=0)         # (64, BLp) raster 8r'+j'
+
+    dc = b[0:1, :] >> 8                          # (1, BLp)
+    shortcut = (nf == 1) & ~intra
+    out = jnp.where(shortcut, jnp.broadcast_to(dc, full.shape), full)
+    out = jnp.where(nf == 0, 0, out)
+    out_ref[0] = out.astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def block_residuals_T_pallas(coeffs_T, intra_bl, qs_bl, intra_q,
+                             non_intra_q, nfinal,
+                             interpret: bool = False):
+    """block_residuals in the transposed [N, 64, BL] orientation as ONE
+    VMEM-resident Pallas pass (bit-identical to
+    idct.block_residuals_T + .astype(int16)).
+
+    The jnp chain materializes several [N, 64, BL] int32 temporaries
+    in HBM (the two butterfly concats and the two position transposes
+    are real relayouts); here one lane's coefficient block stays in
+    VMEM through dequant, both butterfly passes and the shortcut
+    selects -- HBM traffic is one int16 read + one int16 write.
+
+    coeffs_T int16/int32[N, 64, BL]; intra_bl bool[N, BL]; qs_bl
+    int32[N, BL]; intra_q/non_intra_q int32[N, 64]; nfinal
+    int32[N, BL].  Returns res_T int16[N, 64, BL]."""
+    N, _, BL = coeffs_T.shape
+    BLp = -(-BL // 128) * 128
+    padl = ((0, 0), (0, 0), (0, BLp - BL))
+    coef = jnp.pad(coeffs_T.astype(jnp.int16), padl)
+    pads = ((0, 0), (0, BLp - BL))
+    intra = jnp.pad(intra_bl.astype(jnp.int32), pads)[:, None, :]
+    qs = jnp.pad(qs_bl.astype(jnp.int32), pads)[:, None, :]
+    nf = jnp.pad(nfinal.astype(jnp.int32), pads)[:, None, :]
+    iq = intra_q.astype(jnp.int32)[:, :, None]       # [N, 64, 1]
+    nq = non_intra_q.astype(jnp.int32)[:, :, None]
+    scale = jnp.asarray(V.SCALE_DCT_Q, jnp.int32)[None, :, None]
+
+    out = pl.pallas_call(
+        _kernel_T,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, 64, BLp), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, 1, BLp), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, 1, BLp), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, 1, BLp), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, 64, 1), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, 64, 1), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, 64, 1), lambda n: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 64, BLp), lambda n: (n, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, 64, BLp), jnp.int16),
+        interpret=interpret,
+    )(coef, intra, qs, nf, iq, nq, scale)
+    return out[:, :, :BL]

@@ -54,3 +54,35 @@ def test_flat_idct_and_residuals_bit_exact():
         levels, intra, qs, qmat, nf)).reshape(B, 64)
     gr = np.asarray(I.block_residuals_flat(levels, intra, qs, qmat, nf))
     assert np.array_equal(gr, wr)
+
+
+def test_transposed_residuals_pallas_bit_exact():
+    """block_residuals_T_pallas (the one-pass VMEM-resident transposed
+    kernel) must match idct.block_residuals_T + int16 cast bit-exactly
+    over random levels/intra/qscale/nfinal, including the nfinal==0
+    (uncoded) and nfinal==1 non-intra (DC shortcut) paths."""
+    import jax.numpy as jnp
+    from espflix_tpu.ops import idct as J
+    from espflix_tpu.ops.idct_pallas import block_residuals_T_pallas
+
+    rng = np.random.default_rng(21)
+    for (N, BL) in ((2, 36), (1, 1584)):
+        coeffs = rng.integers(-300, 300, (N, 64, BL)).astype(np.int16)
+        coeffs[:, 0] = rng.integers(0, 256, (N, BL))
+        intra = rng.random((N, BL)) < 0.5
+        qs = rng.integers(1, 32, (N, BL)).astype(np.int32)
+        iq = rng.integers(1, 128, (N, 64)).astype(np.int32)
+        nq = rng.integers(1, 128, (N, 64)).astype(np.int32)
+        nf = rng.integers(0, 65, (N, BL)).astype(np.int32)
+
+        qmat_T = np.where(intra[:, None, :], iq[:, :, None],
+                          nq[:, :, None])
+        want = np.asarray(J.block_residuals_T(
+            jnp.asarray(coeffs).astype(jnp.int32), jnp.asarray(intra),
+            jnp.asarray(qs), jnp.asarray(qmat_T),
+            jnp.asarray(nf))).astype(np.int16)
+        got = np.asarray(block_residuals_T_pallas(
+            jnp.asarray(coeffs), jnp.asarray(intra), jnp.asarray(qs),
+            jnp.asarray(iq), jnp.asarray(nq), jnp.asarray(nf),
+            interpret=INTERP))
+        assert np.array_equal(want, got), (N, BL)
