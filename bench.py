@@ -531,6 +531,8 @@ def main():
         "standard": args.standard,
         "pipeline": pipeline_used,
         "scatter": args.scatter,
+        "mocomp": os.environ.get("ESPFLIX_MOCOMP", "pallas"),
+        "idct": os.environ.get("ESPFLIX_IDCT", "jnp"),
         "fallback_reason": fallback_reason,
     }))
 

@@ -15,7 +15,7 @@ from dataclasses import dataclass
 from enum import Enum
 
 from espflix_tpu.runtime.checkpoint import PositionStore
-from espflix_tpu.runtime.session import StreamFeed
+from espflix_tpu.runtime.session import make_stream_feed
 from espflix_tpu.streaming import index as idx
 from espflix_tpu.streaming.streamer import Streamer
 
@@ -54,7 +54,7 @@ class PlayerSession:
         self.nav_index = -1
         self.manifest: list[str] = []
         self.info: dict[int, TitleInfo] = {}
-        self.feed = StreamFeed()
+        self.feed = make_stream_feed()
         self.eos = False
         self.last_pts = -1          # last presented PTS (current stream)
         self.clock = PresentationClock(pal=pal)
@@ -85,7 +85,7 @@ class PlayerSession:
     def play_rom(self, data: bytes):
         """Play an in-memory TS (the splash-movie pathway)."""
         self.streamer.get_rom(data)
-        self.feed = StreamFeed()
+        self.feed = make_stream_feed()
         self.eos = False
         self.last_pts = -1
         self.speed = 0
@@ -103,7 +103,7 @@ class PlayerSession:
         rc = self.streamer.get(self.folder(i) + "/poster.ts", 0)
         if rc != 0:
             return False
-        self.feed = StreamFeed()
+        self.feed = make_stream_feed()
         self.eos = False
         self.speed = 0
         self.state = State.PLAYING
@@ -176,7 +176,7 @@ class PlayerSession:
         if rc != 0:
             self.state = State.STOPPED
             return
-        self.feed = StreamFeed()
+        self.feed = make_stream_feed()
         self.eos = False
         self.last_pts = -1
         self.clock.reset()          # new stream: re-latch the origin

@@ -11,6 +11,7 @@ the reference's 4-buffer pool).
 
 from __future__ import annotations
 
+import os
 from collections import deque
 from dataclasses import dataclass, field
 
@@ -72,6 +73,26 @@ class EsSegmenter:
         self._code_list = [(p - end, c) for p, c in self._code_list
                            if p >= end]
 
+    def _seq_ready(self, pos: int) -> bool:
+        """All bytes of the sequence header at `pos` have arrived.
+        BitReader pads past the end with the EOS pattern, so parsing a
+        header split across feed chunks would cache garbage geometry;
+        defer until the (load-flag-dependent) length is buffered."""
+        if self._eos:
+            return True
+        b = self._buf
+        avail = len(b) - (pos + 4)
+        if avail < 8:
+            return False
+        load_iq = (b[pos + 4 + 7] >> 1) & 1   # bit 62
+        if not load_iq:
+            load_nq = b[pos + 4 + 7] & 1      # bit 63
+            return not load_nq or avail >= 72
+        if avail < 72:
+            return False
+        load_nq = b[pos + 4 + 71] & 1         # bit 575
+        return not load_nq or avail >= 136
+
     def _parse_seq(self, pos: int):
         r = BitReader(bytes(self._buf[pos + 4:pos + 4 + 140]))
         w, h = r.get(12), r.get(12)
@@ -96,7 +117,8 @@ class EsSegmenter:
                 if pend is None:
                     pend = pos
                 if code == 0xB3 and \
-                        self._base + pos != self._seq_parsed_abs:
+                        self._base + pos != self._seq_parsed_abs and \
+                        self._seq_ready(pos):
                     # parse each sequence header once (pop_picture can
                     # walk over a buffered header many times)
                     self._parse_seq(pos)
@@ -180,6 +202,17 @@ class SbcRing:
                 self.blocks = bl
         return self.frame_size
 
+    def clear(self):
+        """Drop all buffered bytes (fault-injection / flush paths)."""
+        self.buf.clear()
+
+    def size(self) -> int:
+        return len(self.buf)
+
+    def poke(self, off: int, value: int):
+        """Overwrite one buffered byte (fault injection)."""
+        self.buf[off] = value
+
     def pop_frames(self, max_frames: int) -> list[bytes]:
         if not self.frame_size:
             return []
@@ -250,3 +283,17 @@ class StreamFeed:
 
     def pop_picture(self):
         return self.es.pop_picture()
+
+
+def make_stream_feed():
+    """Production feed: the native (C++-state) session feed when the
+    library is built, else the Python StreamFeed.  ESPFLIX_NATIVE_FEED=0
+    forces the Python path (tests compare both for bit-identity)."""
+    if os.environ.get("ESPFLIX_NATIVE_FEED", "1") != "0":
+        try:
+            from espflix_tpu.streaming.native_feed import \
+                NativeStreamFeed
+            return NativeStreamFeed()
+        except Exception:
+            pass
+    return StreamFeed()

@@ -1,0 +1,274 @@
+"""Native per-lane session feed: ctypes facade over
+native/session_feed.cpp.
+
+Drop-in replacement for runtime/session.py's StreamFeed (same
+surface: feed/eos/pop_picture/sync_lost + an `audio` ring with
+discover/pop_frames/pop_frames_array).  All per-lane demux and
+ES-segmentation state lives in C++; Python only marshals complete
+pictures.  The reference dedicates a CPU core to this pump
+(/root/reference/src/espflix.cpp:723-737, player.cpp:459-493); at 1k
+lanes the pure-Python path measured ~120 ms/tick on one host core,
+dominated by per-lane ctypes demux marshalling and numpy start-code
+scans -- exactly the byte-bashing that belongs in native code.
+
+Bit-identity with the Python path is pinned by
+tests/test_native_feed.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from espflix_tpu.core import vlc_tables as V
+from espflix_tpu.models.mpeg1 import PictureData, SequenceInfo
+from espflix_tpu.streaming import native as NT
+
+# meta layout (session_feed.cpp enum)
+M_PTYPE, M_FULL_PEL, M_R_SIZE, M_PTS, M_PAYLOAD_LEN, M_NSLICES, \
+    M_SEQ_COUNTER, M_WIDTH, M_HEIGHT, M_HAS_IQ, M_HAS_NQ, \
+    M_SYNC_LOST = range(12)
+M_COUNT = 12
+
+_configured = False
+
+
+def lib():
+    global _configured
+    L = NT.lib()
+    if L is None:
+        return None
+    if not _configured:
+        _configured = True
+        c = ctypes
+        L.sf_create.restype = c.c_void_p
+        L.sf_create.argtypes = [c.c_int]
+        L.sf_destroy.argtypes = [c.c_void_p]
+        L.sf_reset.argtypes = [c.c_void_p, c.c_int]
+        L.sf_feed.restype = c.c_int
+        L.sf_feed.argtypes = [c.c_void_p, c.c_int, c.c_char_p, c.c_long]
+        L.sf_eos.argtypes = [c.c_void_p, c.c_int]
+        L.sf_pop_picture.restype = c.c_int
+        L.sf_pop_picture.argtypes = [
+            c.c_void_p, c.c_int, c.c_void_p, c.c_void_p, c.c_long,
+            c.c_void_p, c.c_void_p, c.c_int, c.c_void_p, c.c_void_p]
+        L.sf_feed_many.restype = c.c_int
+        L.sf_feed_many.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_int, c.c_char_p, c.c_void_p]
+        L.sf_pop_pictures.restype = c.c_int
+        L.sf_pop_pictures.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_int, c.c_void_p, c.c_void_p,
+            c.c_long, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int,
+            c.c_void_p, c.c_void_p, c.c_void_p]
+        L.sf_audio_len.restype = c.c_long
+        L.sf_audio_len.argtypes = [c.c_void_p, c.c_int]
+        L.sf_audio_pts.restype = c.c_longlong
+        L.sf_audio_pts.argtypes = [c.c_void_p, c.c_int]
+        L.sf_audio_peek.restype = c.c_long
+        L.sf_audio_peek.argtypes = [c.c_void_p, c.c_int, c.c_void_p,
+                                    c.c_long]
+        L.sf_audio_pop.restype = c.c_int
+        L.sf_audio_pop.argtypes = [c.c_void_p, c.c_int, c.c_int,
+                                   c.c_int, c.c_void_p]
+        L.sf_audio_clear.argtypes = [c.c_void_p, c.c_int]
+        L.sf_audio_poke.argtypes = [c.c_void_p, c.c_int, c.c_long,
+                                    c.c_int]
+        L.sf_sync_lost.restype = c.c_int
+        L.sf_sync_lost.argtypes = [c.c_void_p, c.c_int]
+    return L
+
+
+def available() -> bool:
+    return lib() is not None
+
+
+class FeedPool:
+    """One native Feed handle shared by every NativeStreamFeed in the
+    process; lanes recycle through a free list (a PlayerSession makes
+    a fresh feed per play())."""
+
+    def __init__(self, capacity: int):
+        self.L = lib()
+        assert self.L is not None
+        self.capacity = capacity
+        self.handle = self.L.sf_create(capacity)
+        self._free = list(range(capacity - 1, -1, -1))
+
+    def acquire(self) -> int:
+        lane = self._free.pop()      # IndexError = pool exhausted
+        self.L.sf_reset(self.handle, lane)
+        return lane
+
+    def release(self, lane: int):
+        self._free.append(lane)
+
+
+_pool: FeedPool | None = None
+
+
+def get_pool() -> FeedPool:
+    global _pool
+    if _pool is None:
+        _pool = FeedPool(int(os.environ.get("ESPFLIX_FEED_LANES",
+                                            "4096")))
+    return _pool
+
+
+# scratch (module-level; single-threaded pump like the Python path).
+# Raw .ctypes.data ints are cached -- ctypes' data_as()/cast() per
+# call was ~40% of pop_picture in the 1k-lane host profile.
+_PAYLOAD_CAP = 1 << 20
+_MAX_SLICES = 1024
+_meta = np.zeros(M_COUNT, np.int64)
+_payload = np.zeros(_PAYLOAD_CAP, np.uint8)
+_slice_off = np.zeros(_MAX_SLICES, np.int32)
+_slice_rows = np.zeros(_MAX_SLICES, np.int32)
+_iq = np.zeros(64, np.uint8)
+_nq = np.zeros(64, np.uint8)
+_ptrs = ()
+
+
+def _cache_ptrs():
+    global _ptrs
+    _ptrs = (_meta.ctypes.data, _payload.ctypes.data,
+             _slice_off.ctypes.data, _slice_rows.ctypes.data,
+             _iq.ctypes.data, _nq.ctypes.data)
+
+
+_cache_ptrs()
+
+
+def _grow(rc):
+    global _PAYLOAD_CAP, _MAX_SLICES, _payload, _slice_off, _slice_rows
+    if rc == -2:
+        _PAYLOAD_CAP *= 2
+        _payload = np.zeros(_PAYLOAD_CAP, np.uint8)
+    else:
+        _MAX_SLICES *= 2
+        _slice_off = np.zeros(_MAX_SLICES, np.int32)
+        _slice_rows = np.zeros(_MAX_SLICES, np.int32)
+    _cache_ptrs()
+
+
+class NativeAudioRing:
+    """SbcRing facade (runtime/session.py): bytes live in C++."""
+
+    def __init__(self, pool: FeedPool, lane: int):
+        self._p = pool
+        self._lane = lane
+        self.frame_size = 0
+        self.channels = 1
+        self.blocks = 16
+
+    @property
+    def pts(self) -> int:
+        return int(self._p.L.sf_audio_pts(self._p.handle, self._lane))
+
+    def discover(self, probe) -> int:
+        if not self.frame_size and \
+                self._p.L.sf_audio_len(self._p.handle, self._lane) >= 64:
+            buf = np.zeros(512, np.uint8)
+            n = self._p.L.sf_audio_peek(
+                self._p.handle, self._lane,
+                buf.ctypes.data_as(ctypes.c_void_p), 512)
+            r = probe(buf[:n].tobytes())
+            ch, bl = 1, 16
+            if isinstance(r, tuple):
+                r, ch, bl = r
+            if r and r > 0:
+                self.frame_size = r
+                self.channels = ch
+                self.blocks = bl
+        return self.frame_size
+
+    def pop_frames_array(self, max_frames: int):
+        fs = self.frame_size
+        if not fs:
+            return None
+        out = np.empty((max_frames, fs), np.uint8)
+        k = self._p.L.sf_audio_pop(
+            self._p.handle, self._lane, fs, max_frames,
+            out.ctypes.data_as(ctypes.c_void_p))
+        if k == 0:
+            return None
+        return out[:k]
+
+    def pop_frames(self, max_frames: int) -> list[bytes]:
+        fa = self.pop_frames_array(max_frames)
+        if fa is None:
+            return []
+        return [fa[i].tobytes() for i in range(fa.shape[0])]
+
+    def clear(self):
+        self._p.L.sf_audio_clear(self._p.handle, self._lane)
+
+    def size(self) -> int:
+        return int(self._p.L.sf_audio_len(self._p.handle, self._lane))
+
+    def poke(self, off: int, value: int):
+        """Overwrite one buffered byte (fault injection)."""
+        self._p.L.sf_audio_poke(self._p.handle, self._lane, off, value)
+
+
+class NativeStreamFeed:
+    """StreamFeed-compatible facade over one native lane."""
+
+    def __init__(self):
+        self._pool = get_pool()
+        self._lane = self._pool.acquire()
+        self.audio = NativeAudioRing(self._pool, self._lane)
+        self._seq_counter = -1
+        self._seq: SequenceInfo | None = None
+
+    def __del__(self):
+        lane, self._lane = self._lane, None
+        if lane is not None and self._pool is not None:
+            self._pool.release(lane)
+
+    def feed(self, data: bytes):
+        self._pool.L.sf_feed(self._pool.handle, self._lane, data,
+                             len(data))
+
+    def eos(self):
+        self._pool.L.sf_eos(self._pool.handle, self._lane)
+
+    @property
+    def sync_lost(self) -> bool:
+        return bool(self._pool.L.sf_sync_lost(self._pool.handle,
+                                              self._lane))
+
+    def _build_seq(self) -> SequenceInfo:
+        iq = _iq.astype(np.int32) if _meta[M_HAS_IQ] \
+            else V.DEFAULT_INTRA_Q.copy()
+        nq = _nq.astype(np.int32) if _meta[M_HAS_NQ] \
+            else V.DEFAULT_NON_INTRA_Q.copy()
+        return SequenceInfo(int(_meta[M_WIDTH]), int(_meta[M_HEIGHT]),
+                            iq, nq)
+
+    def pop_picture(self) -> PictureData | None:
+        while True:
+            mp, pp, sop, srp, iqp, nqp = _ptrs
+            rc = self._pool.L.sf_pop_picture(
+                self._pool.handle, self._lane, mp, pp, _PAYLOAD_CAP,
+                sop, srp, _MAX_SLICES, iqp, nqp)
+            if rc >= 0:
+                break
+            _grow(rc)
+        if rc == 0:
+            return None
+        assert _meta[M_WIDTH] > 0, "picture before sequence header"
+        if int(_meta[M_SEQ_COUNTER]) != self._seq_counter:
+            self._seq = self._build_seq()
+            self._seq_counter = int(_meta[M_SEQ_COUNTER])
+        pic = PictureData(int(_meta[M_PTYPE]), int(_meta[M_FULL_PEL]),
+                          int(_meta[M_R_SIZE]), self._seq,
+                          pts=int(_meta[M_PTS]))
+        plen = int(_meta[M_PAYLOAD_LEN])
+        nsl = int(_meta[M_NSLICES])
+        if plen:
+            pic.payload = _payload[:plen].tobytes()
+            pic.slice_offsets = _slice_off[:nsl].tolist()
+            pic.slice_rows = _slice_rows[:nsl].tolist()
+        return pic

@@ -192,7 +192,7 @@ def test_starved_audio_lane_gets_pdm_silence(tmp_path):
     assert r.audio_lanes[0], "audio never discovered"
     # simulate a stalled transport mid-play: no new pictures, ring dry
     s.next_picture = lambda *a, **k: None
-    s.feed.audio.buf.clear()
+    s.feed.audio.clear()
     r = fleet.tick()
     starved_seen = bool(r.audio_starved is not None
                         and r.audio_starved[0])
@@ -239,8 +239,8 @@ def test_corrupt_audio_frame_flags_audio_error(tmp_path):
     # the reference's sbc anomaly checks)
     ring = s.feed.audio
     fs = ring.frame_size
-    assert fs and len(ring.buf) >= fs, "ring unexpectedly empty"
-    ring.buf[0] = 0x00
+    assert fs and ring.size() >= fs, "ring unexpectedly empty"
+    ring.poke(0, 0x00)
     r = fleet.tick()
     assert r.audio_errors is not None and r.audio_errors[0], \
         "corrupt SBC frame not reported"
