@@ -182,13 +182,28 @@ def make_picture_batch(pictures: list, words_per_lane: int | None = None,
     non_intra_q = np.tile(V.DEFAULT_NON_INTRA_Q, (N, 1)).astype(np.int32)
     active = np.zeros(N, bool)
 
+    # word packing is vectorized across lanes: raw payload bytes land
+    # directly in the words buffer (2 slice-assigns per lane), then ONE
+    # in-place byteswap over the used prefix converts to the device's
+    # big-endian packing.  The per-lane bytes_to_words_be chain (~8
+    # numpy calls each) measured ~20 of the 32 ms batch-assembly cost
+    # at 1024 lanes.
+    u8 = words.view(np.uint8).reshape(N, words_per_lane * 4)
+    EOS = BitReader.EOS  # 00 00 01 B7 x2
+    maxw = 0
     for i, p in enumerate(pictures):
         if p is None:
             continue
-        w = bytes_to_words_be(p.payload)
-        assert len(w) <= words_per_lane, (len(w), words_per_lane)
-        words[i, :len(w)] = w
-        n_words[i] = len(w)
+        pl = p.payload
+        n = len(pl)
+        pad = (-n) % 4
+        nw = (n + pad) // 4 + 4     # payload + 2x EOS pad (8B pattern)
+        assert nw <= words_per_lane, (nw, words_per_lane)
+        u8[i, :n] = np.frombuffer(pl, np.uint8)
+        u8[i, n:n + pad + 16] = np.frombuffer(
+            EOS[:pad] + EOS * 2, np.uint8)
+        n_words[i] = nw
+        maxw = max(maxw, nw)
         k = len(p.slice_offsets)
         assert k <= S
         slice_starts[i, :k] = p.slice_offsets
@@ -200,6 +215,8 @@ def make_picture_batch(pictures: list, words_per_lane: int | None = None,
         intra_q[i] = p.seq.intra_q
         non_intra_q[i] = p.seq.non_intra_q
         active[i] = True
+    if maxw:
+        words[:, :maxw].byteswap(inplace=True)
 
     return dict(
         words=words, slice_starts=slice_starts, slice_rows=slice_rows,

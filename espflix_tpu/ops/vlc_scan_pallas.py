@@ -362,25 +362,14 @@ def pack_slice_rows(batch: dict, words_window: int | None = None,
     overflow = (span > Wp).any(axis=1)
     ok = live & ~overflow[:, None]                        # [N, S]
 
-    # one contiguous row copy per (lane, slice) via a sliding view.
-    # Windows near the payload end clamp left (coverage is preserved:
-    # span <= Wp was already checked); the extra tail bytes a clamped
-    # or unmasked window exposes are exactly the real next-slice bytes
-    # the sequential scanner would see -- the FSM stops at the next
-    # start code's 23 zero bits either way.
-    from numpy.lib.stride_tricks import sliding_window_view
+    # per-row metadata first ([NS] vectors, cheap); the big [NS, Wp]
+    # window gather runs ONCE, already in sorted order -- gathering
+    # unsorted and re-gathering after argsort doubled the dominant
+    # memcpy (measured ~55 ms/tick at 1024 lanes on one host core)
     base_c = np.clip(base, 0, W - Wp)
-    view = sliding_window_view(words, Wp, axis=1)        # [N, W-Wp+1, Wp]
-    lane = np.broadcast_to(np.arange(N)[:, None], (N, S))
-    out = view[lane.ravel(), base_c.astype(np.intp).reshape(NS)]
-    if Wp % 8:
-        # the kernel requires word windows padded to sublane multiples
-        out = np.pad(out, ((0, 0), (0, 8 - Wp % 8)))
-
     start_bits = np.where(ok, starts - (base_c << 5), 0) \
         .astype(np.int32).reshape(NS)
-    d = dict(words=out,
-             start_bits=start_bits,
+    d = dict(start_bits=start_bits,
              rows=np.where(ok, rows, 0).astype(np.int32).reshape(NS),
              alive=ok.astype(np.int32).reshape(NS),
              pic_type=np.repeat(np.asarray(batch["pic_type"]), S),
@@ -388,15 +377,30 @@ def pack_slice_rows(batch: dict, words_window: int | None = None,
              r_size=np.repeat(np.asarray(batch["r_size"]), S),
              out_groups=S, overflow=overflow,
              lane_of_row=np.repeat(np.arange(N, dtype=np.int32), S))
-    if sort_rows:
-        order = np.argsort(-(span.reshape(NS) * d["alive"]),
-                           kind="stable")
     d["span"] = (span.reshape(NS) * d["alive"]).astype(np.int32)
+    lane_r = d["lane_of_row"]
+    base_r = base_c.astype(np.intp).reshape(NS)
     if sort_rows:
         order = np.argsort(-d["span"], kind="stable")
-        for k in ("words", "start_bits", "rows", "alive", "pic_type",
+        for k in ("start_bits", "rows", "alive", "pic_type",
                   "full_pel", "r_size", "lane_of_row", "span"):
             d[k] = np.ascontiguousarray(d[k][order])
+        lane_r = d["lane_of_row"]
+        base_r = base_r[order]
+
+    # one contiguous row copy per (lane, slice) via a sliding view.
+    # Windows near the payload end clamp left (coverage is preserved:
+    # span <= Wp was already checked); the extra tail bytes a clamped
+    # or unmasked window exposes are exactly the real next-slice bytes
+    # the sequential scanner would see -- the FSM stops at the next
+    # start code's 23 zero bits either way.
+    from numpy.lib.stride_tricks import sliding_window_view
+    view = sliding_window_view(words, Wp, axis=1)        # [N, W-Wp+1, Wp]
+    out = view[lane_r, base_r]
+    if Wp % 8:
+        # the kernel requires word windows padded to sublane multiples
+        out = np.pad(out, ((0, 0), (0, 8 - Wp % 8)))
+    d["words"] = out
     return d
 
 
