@@ -314,8 +314,27 @@ def _pad_rows(pad, words, start_bits, rows, alive, pic_type, full_pel,
             jnp.pad(alive, (0, pad)), jnp.pad(pic_type, (0, pad)),
             jnp.pad(full_pel, (0, pad)), jnp.pad(r_size, (0, pad)))
 
+def gather_scan_rows(lane_words, base, lane_of_row, win: int):
+    """Device-side scan-row windowing: build the [NS, win] per-slice
+    word windows with ONE gather from the per-lane payload words.
+
+    Replaces the host sliding-view copy + shipping [NS, win] over
+    host->device (the windows overlap ~12x per lane: rows share their
+    lane's words).  Overruns past a lane's words read the next lane's
+    payload (or clamp at the very end) -- don't-care bytes beyond a
+    row's span+EOS pad, which the FSM never consumes (the span bound
+    already guarantees the stop codes are in-window).
+    """
+    N, Wm = lane_words.shape
+    flat = lane_words.reshape(-1)
+    idx = (lane_of_row.astype(jnp.int32) * Wm + base.astype(jnp.int32)
+           )[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]
+    return flat[jnp.clip(idx, 0, N * Wm - 1)]
+
+
 def pack_slice_rows(batch: dict, words_window: int | None = None,
-                    sort_rows: bool = False):
+                    sort_rows: bool = False,
+                    device_windows: bool = False):
     """Host-side: expand a make_picture_batch dict into per-SLICE scan
     rows with words rebased to each slice's word offset.
 
@@ -387,6 +406,20 @@ def pack_slice_rows(batch: dict, words_window: int | None = None,
             d[k] = np.ascontiguousarray(d[k][order])
         lane_r = d["lane_of_row"]
         base_r = base_r[order]
+
+    if device_windows:
+        # ship per-LANE words + per-row bases; the [NS, win] windows
+        # are built on device by gather_scan_rows inside the decode
+        # step.  Rows overlap ~12x per lane, so this cuts host->device
+        # bytes ~12x and skips the host window copy entirely.  Wm
+        # covers every live row's span (+2 margin words past end_bit,
+        # matching the span formula); reads past Wm land in don't-care
+        # territory the FSM never consumes (its own EOS pad stops it).
+        Wm = min(W, -(-max(int(n_words.max()) + 2, Wp) // 128) * 128)
+        d["lane_words"] = np.ascontiguousarray(words[:, :Wm])
+        d["row_base"] = base_r.astype(np.int32)
+        d["win"] = Wp + (-Wp) % 8
+        return d
 
     # one contiguous row copy per (lane, slice) via a sliding view.
     # Windows near the payload end clamp left (coverage is preserved:

@@ -50,6 +50,10 @@ from espflix_tpu.ops import delta_sigma as DS
 DECODE_KEYS = ("words", "start_bits", "rows", "alive", "pic_type",
                "full_pel", "r_size", "lane_of_row", "perm",
                "intra_q", "non_intra_q", "active")
+# device-window mode (win > 0): per-LANE words + per-row bases replace
+# the pre-built [NS, win] row windows (~12x fewer host->device bytes;
+# windows are gathered on device by VP.gather_scan_rows)
+DECODE_KEYS_DW = ("lane_words", "row_base") + DECODE_KEYS[1:]
 OUTPUT_KEYS = ("osd", "blend", "progress", "parity", "aud_words",
                "aud_act", "aud_nval", "beep_left", "starved")
 SCROLL_KEYS = ("hscroll",)
@@ -66,13 +70,13 @@ def beep_wave(n_samples: int) -> np.ndarray:
                               "long_rows", "steps_long", "steps_short",
                               "n_aud_frames", "channels", "pal",
                               "scrolled", "tap", "interpret",
-                              "return_planes"))
+                              "return_planes", "win"))
 def run_full_chunk(xs, frames, sbc_state, ds_state, tap_idx, slide,
                    *, mb_width: int, mb_height: int, n_lanes: int,
                    long_rows: int, steps_long: int, steps_short: int,
                    n_aud_frames: int, channels: int, pal: bool,
                    scrolled: bool, tap: int, interpret: bool,
-                   return_planes: bool = True):
+                   return_planes: bool = True, win: int = 0):
     """One dispatch: K full decode->signal ticks.
 
     xs: dict of [K, ...] per-tick inputs (DECODE_KEYS + OUTPUT_KEYS,
@@ -91,9 +95,14 @@ def run_full_chunk(xs, frames, sbc_state, ds_state, tap_idx, slide,
 
     def body(carry, x):
         frames, sbc_state, ds_state = carry
+        if win:
+            words = VP.gather_scan_rows(
+                x["lane_words"], x["row_base"], x["lane_of_row"], win)
+        else:
+            words = x["words"]
         coeffs_T, recs, nfinal, err, _it = \
             VP.run_scan_pallas_bucketed_dense(
-                *[x[k] for k in DECODE_KEYS[:8]], x["perm"],
+                words, *[x[k] for k in DECODE_KEYS[1:8]], x["perm"],
                 mb_width=mb_width, mb_height=mb_height,
                 n_lanes=n_lanes, long_rows=long_rows,
                 steps_long=steps_long, steps_short=steps_short,

@@ -12,6 +12,7 @@ lanes are masked; a corrupt stream only parks its own lane
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -112,6 +113,12 @@ class Fleet:
                                          self.mb_h * 16)
         self.sbc_state = dsbc.init_state(n_lanes)
         self.parser = parser
+        # device-side scan-row windowing in run_chunk_full: ship
+        # [N, Wm] per-lane words, gather the [NS, win] row windows on
+        # device (~12x fewer host->device bytes; ESPFLIX_DEVICE_WINDOWS=0
+        # restores host-built windows)
+        self._dev_win = os.environ.get(
+            "ESPFLIX_DEVICE_WINDOWS", "1") != "0"
         if parser == "pallas":
             import jax
             self._pallas_interpret = jax.default_backend() != "tpu"
@@ -894,7 +901,8 @@ class Fleet:
                     pics, words_per_lane=self.words_per_lane,
                     max_slices=self.mb_h,
                     geometry=(self.mb_w, self.mb_h))
-                sl = VP.pack_slice_rows(b, sort_rows=True)
+                sl = VP.pack_slice_rows(b, sort_rows=True,
+                                        device_windows=self._dev_win)
                 perm, dup = SD.row_perm(
                     sl["lane_of_row"], sl["rows"], sl["alive"],
                     self.n, self.mb_h)
@@ -903,7 +911,11 @@ class Fleet:
                 self._gather_audio_arrays(F)
             self._update_osd()
             snap = self.output.tick_state(F)
-            x = {k: sl[k] for k in CH.DECODE_KEYS[:8] if k != "perm"}
+            dkeys = CH.DECODE_KEYS_DW[:9] if self._dev_win \
+                else CH.DECODE_KEYS[:8]
+            x = {k: sl[k] for k in dkeys if k != "perm"}
+            if self._dev_win:
+                x["win"] = sl["win"]
             x["perm"] = perm
             x["intra_q"] = b["intra_q"]
             x["non_intra_q"] = b["non_intra_q"]
@@ -922,11 +934,22 @@ class Fleet:
             gathered.append((pics, pts, pre_errors, starved))
 
         # common word-window width across the chunk
-        Wp = max(x["words"].shape[1] for x in xs_t)
-        for x in xs_t:
-            w = x["words"]
-            if w.shape[1] < Wp:
-                x["words"] = np.pad(w, ((0, 0), (0, Wp - w.shape[1])))
+        if self._dev_win:
+            win = max(x.pop("win") for x in xs_t)
+            Wm = max(x["lane_words"].shape[1] for x in xs_t)
+            for x in xs_t:
+                w = x["lane_words"]
+                if w.shape[1] < Wm:
+                    x["lane_words"] = np.pad(
+                        w, ((0, 0), (0, Wm - w.shape[1])))
+        else:
+            win = 0
+            Wp = max(x["words"].shape[1] for x in xs_t)
+            for x in xs_t:
+                w = x["words"]
+                if w.shape[1] < Wp:
+                    x["words"] = np.pad(
+                        w, ((0, 0), (0, Wp - w.shape[1])))
         xs = {k: jnp.asarray(np.stack([x[k] for x in xs_t]))
               for k in xs_t[0]}
         self.events.log(Ev.DECODE_BATCH, value=sum(
@@ -964,7 +987,7 @@ class Fleet:
                 steps_long=steps_long, steps_short=steps_short,
                 n_aud_frames=F, channels=ch, pal=self.pal,
                 scrolled=scrolled, tap=tap,
-                interpret=self._pallas_interpret)
+                interpret=self._pallas_interpret, win=win)
 
         with self.timers.measure("host_sync"):
             errs = np.asarray(outs["err"]) | dup_any[None, :]
