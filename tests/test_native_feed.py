@@ -128,6 +128,28 @@ def test_ragged_chunks_split_everything(tmp_path):
     _compare(ts, chunks)
 
 
+def test_pool_recycles_lanes_under_churn():
+    """Continuous batching replaces a session's feed on every
+    play()/nav(); pool lanes must recycle (no leak) and a recycled
+    lane must start clean."""
+    import gc
+    pool = NF.get_pool()
+    free0 = len(pool._free)
+    for _ in range(3):
+        feeds = [NF.NativeStreamFeed() for _ in range(128)]
+        for fd in feeds:
+            fd.feed(b"\x47" + b"\x00" * 187)  # arbitrary TS packet
+        del feeds, fd
+        gc.collect()
+        assert len(pool._free) == free0
+    f = NF.NativeStreamFeed()
+    assert f.pop_picture() is None            # clean state
+    assert not f.sync_lost
+    del f
+    gc.collect()
+    assert len(pool._free) == free0
+
+
 def test_player_session_uses_native(tmp_path):
     """The factory returns the native feed and a session plays
     through it end to end."""
