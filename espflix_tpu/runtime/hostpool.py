@@ -50,6 +50,7 @@ def _worker_main(conn, lane_lo, lane_hi, words_per_lane, mb_w, mb_h):
     n = lane_hi - lane_lo
     sessions = [None] * n
     aud_op = [None]
+    dev_win = os.environ.get("ESPFLIX_DEVICE_WINDOWS", "1") != "0"
 
     def probe(data):
         d = SbcDecoder()
@@ -85,7 +86,8 @@ def _worker_main(conn, lane_lo, lane_hi, words_per_lane, mb_w, mb_h):
         b = M.make_picture_batch(pics, words_per_lane=words_per_lane,
                                  max_slices=mb_h,
                                  geometry=(mb_w, mb_h))
-        sl = VP.pack_slice_rows(b, sort_rows=True)
+        sl = VP.pack_slice_rows(b, sort_rows=True,
+                                device_windows=dev_win)
         perm, dup = SD.row_perm(sl["lane_of_row"], sl["rows"],
                                 sl["alive"], n, mb_h)
         pre_errors |= dup | sl["overflow"]
@@ -120,16 +122,23 @@ def _worker_main(conn, lane_lo, lane_hi, words_per_lane, mb_w, mb_h):
         arr = np.zeros((n, F, fs), np.uint8)
         for i, fa in frames:
             arr[i, :len(fa)] = fa
-        return dict(
-            rows={k: sl[k] for k in (
-                "words", "start_bits", "rows", "alive", "pic_type",
-                "full_pel", "r_size", "lane_of_row")},
+        rk = (("row_base",) if dev_win else ("words",)) + (
+            "start_bits", "rows", "alive", "pic_type", "full_pel",
+            "r_size", "lane_of_row")
+        out = dict(
+            rows={k: sl[k] for k in rk},
             perm=perm, intra_q=b["intra_q"],
             non_intra_q=b["non_intra_q"], active=b["active"],
             pts=pts, pre_errors=pre_errors, n_i=n_i,
             video=np.array([p is not None for p in pics]),
             aud=arr, aud_act=act, aud_nval=nval, starved=starved,
             aud_op=aud_op[0])
+        if dev_win:
+            # per-LANE payload words; the [rows, win] windows gather
+            # on device (~12x fewer IPC + host->device bytes)
+            out["lane_words"] = sl["lane_words"]
+            out["win"] = sl["win"]
+        return out
 
     while True:
         try:
@@ -243,14 +252,26 @@ class HostPool:
             if st != "ok":
                 raise RuntimeError(f"worker {k}: {r}")
             parts.append(r)
-        Wp = max(p["rows"]["words"].shape[1] for p in parts)
-        for p in parts:
-            w = p["rows"]["words"]
-            if w.shape[1] < Wp:
-                p["rows"]["words"] = np.pad(
-                    w, ((0, 0), (0, Wp - w.shape[1])))
+        if "lane_words" in parts[0]:
+            Wm = max(p["lane_words"].shape[1] for p in parts)
+            for p in parts:
+                w = p["lane_words"]
+                if w.shape[1] < Wm:
+                    p["lane_words"] = np.pad(
+                        w, ((0, 0), (0, Wm - w.shape[1])))
+        else:
+            Wp = max(p["rows"]["words"].shape[1] for p in parts)
+            for p in parts:
+                w = p["rows"]["words"]
+                if w.shape[1] < Wp:
+                    p["rows"]["words"] = np.pad(
+                        w, ((0, 0), (0, Wp - w.shape[1])))
         out = {k: np.concatenate([p["rows"][k] for p in parts])
                for k in parts[0]["rows"]}
+        if "lane_words" in parts[0]:
+            out["lane_words"] = np.concatenate(
+                [p["lane_words"] for p in parts])
+            out["win"] = max(p["win"] for p in parts)
         for k in ("perm", "intra_q", "non_intra_q", "active", "pts",
                   "pre_errors", "video", "aud", "aud_act", "aud_nval",
                   "starved"):

@@ -1072,14 +1072,28 @@ class Fleet:
         # I-row counts -- a few big memcpys, no per-row permute
         W = pool.w
         ln = pool.ln
-        rowk = ("words", "start_bits", "rows", "alive", "pic_type",
-                "full_pel", "r_size", "lane_of_row")
-        Wp = max(x["words"].shape[1] for x in xs_t)
+        dev_win = "lane_words" in xs_t[0]
+        rowk = (("row_base",) if dev_win else ("words",)) + (
+            "start_bits", "rows", "alive", "pic_type", "full_pel",
+            "r_size", "lane_of_row")
+        if dev_win:
+            win = max(x.pop("win") for x in xs_t)
+            Wm = max(x["lane_words"].shape[1] for x in xs_t)
+        else:
+            win = 0
+            Wp = max(x["words"].shape[1] for x in xs_t)
         NSl = ln * mbh
         for x in xs_t:
-            w = x["words"]
-            if w.shape[1] < Wp:
-                x["words"] = np.pad(w, ((0, 0), (0, Wp - w.shape[1])))
+            if dev_win:
+                w = x["lane_words"]
+                if w.shape[1] < Wm:
+                    x["lane_words"] = np.pad(
+                        w, ((0, 0), (0, Wm - w.shape[1])))
+            else:
+                w = x["words"]
+                if w.shape[1] < Wp:
+                    x["words"] = np.pad(
+                        w, ((0, 0), (0, Wp - w.shape[1])))
             # globalize per-worker row/lane indices
             x["lane_of_row"] = (
                 x["lane_of_row"].reshape(W, NSl)
@@ -1112,6 +1126,8 @@ class Fleet:
                         "osd", "blend", "progress", "parity",
                         "hscroll", "beep_left", "aud_words", "aud_act",
                         "aud_nval", "starved")
+        if dev_win:
+            okeys = okeys + ("lane_words",)
         xs = {k: jnp.asarray(np.stack([x[k] for x in xs_t]))
               for k in okeys}
 
@@ -1139,7 +1155,7 @@ class Fleet:
                 steps_long=steps_long, steps_short=steps_short,
                 n_aud_frames=F, channels=ch, pal=self.pal,
                 scrolled=scrolled, tap=tap,
-                interpret=self._pallas_interpret)
+                interpret=self._pallas_interpret, win=win)
 
         with self.timers.measure("host_sync"):
             errs = np.asarray(outs["err"])
