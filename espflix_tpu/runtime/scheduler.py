@@ -119,6 +119,10 @@ class Fleet:
         # restores host-built windows)
         self._dev_win = os.environ.get(
             "ESPFLIX_DEVICE_WINDOWS", "1") != "0"
+        # batched native pops in _gather_pictures (one ctypes call per
+        # round fleet-wide); ESPFLIX_BATCHED_POP=0 restores per-lane
+        self._batched_pop = os.environ.get(
+            "ESPFLIX_BATCHED_POP", "1") != "0"
         if parser == "pallas":
             import jax
             self._pallas_interpret = jax.default_backend() != "tpu"
@@ -261,6 +265,51 @@ class Fleet:
         results.append(self.tick_collect(pend, fetch_frames=fetch_frames))
         return results
 
+    def _batched_next_pictures(self):
+        """Fast path for native-feed lanes: one sf_pop_pictures call
+        per round for the whole fleet instead of 2 ctypes calls per
+        lane (runtime/session.py next_picture semantics, identical
+        per-lane op order: pop, pump on miss, pop again, DONE at EOS).
+        Returns {lane: PictureData|None} covering every lane it
+        handled, or None when the fast path is unavailable."""
+        if not self._batched_pop:
+            return None
+        from espflix_tpu.runtime.player import PlayerSession
+        from espflix_tpu.runtime.player import State as St
+        from espflix_tpu.streaming.native_feed import (NativeStreamFeed,
+                                                       pop_many)
+        pump_states = (St.PLAYING, St.FAST_FORWARD, St.REWIND)
+        # next_picture stays the per-session extension point: any
+        # override (subclass or instance patch) opts that lane out of
+        # the batched path
+        pending = [
+            (i, s) for i, s in enumerate(self.sessions)
+            if s is not None and s.state in pump_states
+            and isinstance(s.feed, NativeStreamFeed)
+            and "next_picture" not in s.__dict__
+            and type(s).next_picture is PlayerSession.next_picture]
+        if not pending:
+            return None
+        got = {i: None for i, _ in pending}
+        for _ in range(64):                  # next_picture max_pumps
+            if not pending:
+                break
+            res = pop_many([s.feed for _, s in pending])
+            nxt = []
+            for (i, s), p in zip(pending, res):
+                if p is not None:
+                    got[i] = p
+                elif s.pump():
+                    nxt.append((i, s))
+                else:
+                    p = s.feed.pop_picture()
+                    if p is None:
+                        s.state = St.DONE
+                        s.save_pos(False)
+                    got[i] = p
+            pending = nxt
+        return got
+
     def _gather_pictures(self):
         """One display-tick of host work: advance every session's
         presentation clock, pull at most one complete picture per lane,
@@ -274,10 +323,12 @@ class Fleet:
             if s is not None:
                 s.clock.tick()
         pre_errors = np.zeros(n, bool)
+        got = self._batched_next_pictures()
         for i, s in enumerate(self.sessions):
             if s is None:
                 continue
-            p = s.next_picture()
+            p = got[i] if got is not None and i in got \
+                else s.next_picture()
             if p is None:
                 continue
             if p.seq.width != self.width or p.seq.height != self.height:

@@ -212,6 +212,86 @@ class NativeAudioRing:
         self._p.L.sf_audio_poke(self._p.handle, self._lane, off, value)
 
 
+# batched-pop scratch (grown on demand)
+_B = dict(n=0)
+
+
+def _batch_scratch(n):
+    if _B["n"] < n:
+        _B["n"] = max(n, 256)
+        _B["meta"] = np.zeros((_B["n"], M_COUNT), np.int64)
+        _B["off"] = np.zeros(_B["n"], np.int64)
+        _B["rc"] = np.zeros(_B["n"], np.int32)
+        _B["lanes"] = np.zeros(_B["n"], np.int32)
+        _B["iq"] = np.zeros((_B["n"], 64), np.uint8)
+        _B["nq"] = np.zeros((_B["n"], 64), np.uint8)
+        _B.pop("so", None)
+        _B.pop("arena", None)
+    if "so" not in _B or _B["so"].shape[1] < _MAX_SLICES:
+        _B["so"] = np.zeros((_B["n"], _MAX_SLICES), np.int32)
+        _B["sr"] = np.zeros((_B["n"], _MAX_SLICES), np.int32)
+    if "arena" not in _B:
+        _B["arena"] = np.zeros(32 << 20, np.uint8)
+    return _B
+
+
+def pop_many(feeds):
+    """Batched pop_picture over NativeStreamFeeds sharing one pool:
+    ONE ctypes call for the whole fleet (sf_pop_pictures) instead of
+    per-lane calls.  Returns a list[PictureData | None] aligned with
+    `feeds`.  Lanes whose output overflowed the shared scratch are
+    retried alone (their pop was not consumed), so a partial overflow
+    never double-pops a lane."""
+    n = len(feeds)
+    if n == 0:
+        return []
+    pool = feeds[0]._pool
+    B = _batch_scratch(n)
+    B["lanes"][:n] = [f._lane for f in feeds]
+    L = pool.L
+    L.sf_pop_pictures(
+        pool.handle, B["lanes"].ctypes.data, n,
+        B["meta"].ctypes.data, B["arena"].ctypes.data,
+        len(B["arena"]), B["off"].ctypes.data, B["so"].ctypes.data,
+        B["sr"].ctypes.data, B["so"].shape[1], B["iq"].ctypes.data,
+        B["nq"].ctypes.data, B["rc"].ctypes.data)
+    out = [None] * n
+    meta, off, rc = B["meta"], B["off"], B["rc"]
+    for k in range(n):
+        r = int(rc[k])
+        if r == 0:
+            continue
+        if r < 0:
+            # grow (module scratch: also raises the per-lane caps the
+            # single-pop path uses) and retry this lane alone
+            _grow(r)
+            out[k] = feeds[k].pop_picture()
+            continue
+        f = feeds[k]
+        m = meta[k]
+        assert m[M_WIDTH] > 0, "picture before sequence header"
+        if int(m[M_SEQ_COUNTER]) != f._seq_counter:
+            iq = B["iq"][k].astype(np.int32) if m[M_HAS_IQ] \
+                else V.DEFAULT_INTRA_Q.copy()
+            nq = B["nq"][k].astype(np.int32) if m[M_HAS_NQ] \
+                else V.DEFAULT_NON_INTRA_Q.copy()
+            f._seq = SequenceInfo(int(m[M_WIDTH]), int(m[M_HEIGHT]),
+                                  iq, nq)
+            f._seq_counter = int(m[M_SEQ_COUNTER])
+        pic = PictureData(int(m[M_PTYPE]), int(m[M_FULL_PEL]),
+                          int(m[M_R_SIZE]), f._seq,
+                          pts=int(m[M_PTS]))
+        plen = int(m[M_PAYLOAD_LEN])
+        if plen:
+            o = int(off[k])
+            pic.payload = B["arena"][o:o + plen].tobytes()
+            nsl = int(m[M_NSLICES])
+            pic.slice_offsets = B["so"][k, :nsl].tolist()
+            pic.slice_rows = B["sr"][k, :nsl].tolist()
+        out[k] = pic
+    return out
+
+
 class NativeStreamFeed:
     """StreamFeed-compatible facade over one native lane."""
 

@@ -150,6 +150,37 @@ def test_pool_recycles_lanes_under_churn():
     assert len(pool._free) == free0
 
 
+def test_batched_pop_matches_per_lane(tmp_path):
+    """Fleet._gather_pictures' batched sf_pop_pictures fast path must
+    deliver the identical picture sequence (per-lane op order: pop,
+    pump on miss, pop, DONE at EOS) as the per-lane path."""
+    root = tmp_path / "svcb"
+    SS.generate_service(str(root), ["a", "b"], seed=9, n_gops=2,
+                        gop=6)
+    url = "file://" + str(root)
+
+    def run(batched):
+        os.environ["ESPFLIX_BATCHED_POP"] = "1" if batched else "0"
+        try:
+            fleet = SS_build(url)
+            seqs = []
+            for _ in range(20):
+                pics, pts, pre = fleet._gather_pictures()
+                seqs.append([
+                    (p.pic_type, p.pts, p.payload, s.state.name)
+                    if p else (None, s.state.name)
+                    for p, s in zip(pics, fleet.sessions)])
+            return seqs
+        finally:
+            os.environ.pop("ESPFLIX_BATCHED_POP", None)
+
+    def SS_build(url):
+        from espflix_tpu.tools.serve_scenario import build_fleet
+        return build_fleet(url, 8, 2, words_per_lane=8192)
+
+    assert run(True) == run(False)
+
+
 def test_player_session_uses_native(tmp_path):
     """The factory returns the native feed and a session plays
     through it end to end."""
