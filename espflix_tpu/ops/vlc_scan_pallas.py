@@ -416,7 +416,13 @@ def pack_slice_rows(batch: dict, words_window: int | None = None,
         # matching the span formula); reads past Wm land in don't-care
         # territory the FSM never consumes (its own EOS pad stops it).
         Wm = min(W, -(-max(int(n_words.max()) + 2, Wp) // 128) * 128)
-        d["lane_words"] = np.ascontiguousarray(words[:, :Wm])
+        lw = np.ascontiguousarray(words[:, :Wm])
+        if np.shares_memory(lw, words):
+            # Wm == W: make the shipped words independent of the
+            # caller's buffer (the packed gather reuses its batch
+            # buffers every tick; a chunked caller stacks several)
+            lw = lw.copy()
+        d["lane_words"] = lw
         d["row_base"] = base_r.astype(np.int32)
         d["win"] = Wp + (-Wp) % 8
         return d

@@ -123,6 +123,12 @@ class Fleet:
         # round fleet-wide); ESPFLIX_BATCHED_POP=0 restores per-lane
         self._batched_pop = os.environ.get(
             "ESPFLIX_BATCHED_POP", "1") != "0"
+        # packed pops: native pictures land directly in the device
+        # batch layout (no PictureData marshalling on the hot path);
+        # ESPFLIX_PACKED_POP=0 restores the classic gather
+        self._packed_pop = os.environ.get(
+            "ESPFLIX_PACKED_POP", "1") != "0"
+        self._packed = None
         if parser == "pallas":
             import jax
             self._pallas_interpret = jax.default_backend() != "tpu"
@@ -343,7 +349,7 @@ class Fleet:
                 # structured geometry for the router (runtime/router.py)
                 s.park_geometry = (p.seq.width, p.seq.height)
                 continue
-            if len(p.payload) // 4 + 4 > self.words_per_lane:
+            if (len(p.payload) + 3) // 4 + 4 > self.words_per_lane:
                 # transient oversize picture: drop it, flag the lane and
                 # re-seek to the next random-access point so decode state
                 # stays consistent (SURVEY.md 5.3)
@@ -356,6 +362,135 @@ class Fleet:
             pics[i] = p
             pts[i] = p.pts
         return pics, pts, pre_errors
+
+    # -- packed gather (native pops straight into the batch layout) ----
+    def _ensure_packed(self):
+        if getattr(self, "_packed", None) is None:
+            from espflix_tpu.streaming.native_feed import PackedBatch
+            self._packed = PackedBatch(self.n, self.words_per_lane,
+                                       self.mb_h, self.mb_w, self.mb_h)
+        return self._packed
+
+    def _packed_policies(self, i, s, width, height, payload_words,
+                         n_slices, pre_errors) -> bool:
+        """Geometry / oversize / slice-capacity containment shared by
+        the packed fast path and its per-lane merge fallback.  Returns
+        True when the picture may enter the batch."""
+        if width != self.width or height != self.height:
+            self.events.log(Ev.LANE_GEOMETRY, i,
+                            value=(width << 16) | height)
+            pre_errors[i] = True
+            s.park(f"geometry {width}x{height} != "
+                   f"fleet {self.width}x{self.height}")
+            s.park_geometry = (width, height)
+            return False
+        if payload_words + 4 > self.words_per_lane \
+                or n_slices > self.mb_h:
+            self.events.log(Ev.LANE_OVERSIZE, i,
+                            value=payload_words * 4)
+            pre_errors[i] = True
+            if s.resync():
+                self.events.log(Ev.LANE_RESYNC, i)
+            return False
+        return True
+
+    def _gather_batch_packed(self):
+        """Packed twin of _gather_pictures + make_picture_batch: one
+        sf_pop_pictures_packed call per pump round writes every popped
+        payload straight into the fleet's persistent batch buffers
+        (EOS pad + byteswap + stale-row zeroing in C++), so the tick's
+        host cost has no PictureData marshalling and no per-lane word
+        packing.  Returns (batch_dict, pts, pre_errors) or None when
+        the fast path is unavailable (no native lanes / disabled) --
+        the caller falls back to the classic gather."""
+        if not (self._batched_pop and getattr(self, "_packed_pop", True)):
+            return None
+        from espflix_tpu.runtime.player import PlayerSession
+        from espflix_tpu.runtime.player import State as St
+        from espflix_tpu.streaming import native_feed as NF
+        if not NF.available():
+            return None
+        pump_states = (St.PLAYING, St.FAST_FORWARD, St.REWIND)
+        fast, slow = [], []
+        for i, s in enumerate(self.sessions):
+            if s is None:
+                continue
+            if (s.state in pump_states
+                    and isinstance(s.feed, NF.NativeStreamFeed)
+                    and "next_picture" not in s.__dict__
+                    and type(s).next_picture
+                    is PlayerSession.next_picture):
+                fast.append((i, s))
+            else:
+                slow.append((i, s))
+        if not fast:
+            return None
+        pb = self._ensure_packed()
+        for s in self.sessions:
+            if s is not None:
+                s.clock.tick()
+        pb.begin_tick()
+        pre_errors = np.zeros(self.n, bool)
+        NFM = NF  # meta field indices
+        pending = fast
+        for _ in range(64):                  # next_picture max_pumps
+            if not pending:
+                break
+            feeds = [s.feed for _, s in pending]
+            slots = [i for i, _ in pending]
+            rc, meta, iq8, nq8 = NF.pop_many_packed(pb, feeds, slots)
+            nxt = []
+            for k, (i, s) in enumerate(pending):
+                r = int(rc[k])
+                if r == 1:
+                    m = meta[k]
+                    w, h = int(m[NFM.M_WIDTH]), int(m[NFM.M_HEIGHT])
+                    assert w > 0, "picture before sequence header"
+                    if not self._packed_policies(
+                            i, s, w, h,
+                            (int(m[NFM.M_PAYLOAD_LEN]) + 3) // 4,
+                            int(m[NFM.M_NSLICES]), pre_errors):
+                        continue
+                    pb.set_queues(i, s.feed, bool(m[NFM.M_HAS_IQ]),
+                                  bool(m[NFM.M_HAS_NQ]), iq8[k],
+                                  nq8[k], int(m[NFM.M_SEQ_COUNTER]))
+                    pb.pic_type[i] = int(m[NFM.M_PTYPE])
+                    pb.full_pel[i] = int(m[NFM.M_FULL_PEL])
+                    pb.r_size[i] = max(int(m[NFM.M_R_SIZE]), 0)
+                    pb.n_slices[i] = int(m[NFM.M_NSLICES])
+                    pb.active[i] = True
+                    pb.pts[i] = int(m[NFM.M_PTS])
+                elif r < 0:
+                    # capacity: the picture was NOT consumed; pop it
+                    # through the growable scratch path and apply the
+                    # same containment policies
+                    p = s.feed.pop_picture()
+                    if p is not None and self._packed_policies(
+                            i, s, p.seq.width, p.seq.height,
+                            (len(p.payload) + 3) // 4,
+                            len(p.slice_offsets), pre_errors):
+                        pb.merge_picture(i, p)
+                elif s.pump():
+                    nxt.append((i, s))
+                else:
+                    p = s.feed.pop_picture()
+                    if p is None:
+                        s.state = St.DONE
+                        s.save_pos(False)
+                    elif self._packed_policies(
+                            i, s, p.seq.width, p.seq.height,
+                            (len(p.payload) + 3) // 4,
+                            len(p.slice_offsets), pre_errors):
+                        pb.merge_picture(i, p)
+            pending = nxt
+        for i, s in slow:
+            p = s.next_picture()
+            if p is not None and self._packed_policies(
+                    i, s, p.seq.width, p.seq.height,
+                    (len(p.payload) + 3) // 4, len(p.slice_offsets),
+                    pre_errors):
+                pb.merge_picture(i, p)
+        return pb.batch_dict(), pb.pts.copy(), pre_errors
 
     def tick_submit(self, decode_audio: bool = True) -> PendingTick:
         n = self.n
@@ -940,18 +1075,24 @@ class Fleet:
         dup_any = np.zeros(self.n, bool)
         need_long = 8
         for _ in range(n_ticks):
-            pics, pts, pre_errors = self._gather_pictures()
+            with self.timers.measure("gather_packed"):
+                g = self._gather_batch_packed()
+            if g is not None:
+                b, pts, pre_errors = g
+            else:
+                pics, pts, pre_errors = self._gather_pictures()
+                with self.timers.measure("batch_assemble"):
+                    b = M.make_picture_batch(
+                        pics, words_per_lane=self.words_per_lane,
+                        max_slices=self.mb_h,
+                        geometry=(self.mb_w, self.mb_h))
             # the long symbol bucket must absorb every I picture's rows
             # (the host knows the picture types; span sorting puts them
             # first) -- an aligned-phase tick can be ALL I lanes
-            n_i = sum(1 for p in pics
-                      if p is not None and p.pic_type == 1)
+            n_i = int(((np.asarray(b["pic_type"]) == 1)
+                       & b["active"]).sum())
             need_long = max(need_long, n_i * self.mb_h)
             with self.timers.measure("batch_assemble"):
-                b = M.make_picture_batch(
-                    pics, words_per_lane=self.words_per_lane,
-                    max_slices=self.mb_h,
-                    geometry=(self.mb_w, self.mb_h))
                 sl = VP.pack_slice_rows(b, sort_rows=True,
                                         device_windows=self._dev_win)
                 perm, dup = SD.row_perm(
@@ -982,7 +1123,8 @@ class Fleet:
             x["aud_nval"] = anval
             x["starved"] = starved
             xs_t.append(x)
-            gathered.append((pics, pts, pre_errors, starved))
+            gathered.append((np.asarray(b["active"]).copy(), pts,
+                             pre_errors, starved))
 
         # common word-window width across the chunk
         if self._dev_win:
@@ -1049,12 +1191,12 @@ class Fleet:
             tap_p = np.asarray(outs["tap_pdm"]) if tap else None
 
         results = []
-        for t, (pics, pts, pre_errors, starved) in enumerate(gathered):
-            video_lanes = np.array([p is not None for p in pics])
+        for t, (video_lanes, pts, pre_errors, starved) in \
+                enumerate(gathered):
             errors = errs[t].copy()
-            for i, p in enumerate(pics):
-                if p is not None and self.sessions[i] is not None:
-                    self.sessions[i].on_presented(p.pts)
+            for i in np.nonzero(video_lanes)[0]:
+                if self.sessions[i] is not None:
+                    self.sessions[i].on_presented(int(pts[i]))
                     if errors[i]:
                         self.events.log(Ev.LANE_ERROR, i)
                         if self.sessions[i].resync():

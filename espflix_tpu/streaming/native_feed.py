@@ -62,6 +62,11 @@ def lib():
             c.c_void_p, c.c_void_p, c.c_int, c.c_void_p, c.c_void_p,
             c.c_long, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int,
             c.c_void_p, c.c_void_p, c.c_void_p]
+        L.sf_pop_pictures_packed.restype = c.c_int
+        L.sf_pop_pictures_packed.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_int, c.c_void_p, c.c_void_p,
+            c.c_void_p, c.c_long, c.c_void_p, c.c_void_p, c.c_void_p,
+            c.c_void_p, c.c_int, c.c_void_p, c.c_void_p, c.c_void_p]
         L.sf_audio_len.restype = c.c_long
         L.sf_audio_len.argtypes = [c.c_void_p, c.c_int]
         L.sf_audio_pts.restype = c.c_longlong
@@ -290,6 +295,149 @@ def pop_many(feeds):
             pic.slice_rows = B["sr"][k, :nsl].tolist()
         out[k] = pic
     return out
+
+
+class PackedBatch:
+    """Persistent device-batch-layout buffers one Fleet owns.
+
+    Popped pictures land straight in `words` (payload + EOS pad +
+    big-endian byteswap done in C++, sf_pop_pictures_packed) so no
+    PictureData object, payload bytes() copy, or per-lane numpy word
+    packing exists on the hot path.  Rows are kept bit-identical to a
+    freshly zeroed make_picture_batch row: the native side zeroes each
+    row's stale region above the new payload (prev_nw high-water).
+    """
+
+    def __init__(self, n: int, words_per_lane: int, max_slices: int,
+                 mb_width: int, mb_height: int):
+        self.n = n
+        self.words_per_lane = words_per_lane
+        self.max_slices = max_slices
+        self.mb_width, self.mb_height = mb_width, mb_height
+        self.words = np.zeros((n, words_per_lane), np.uint32)
+        self.words_u8 = self.words.view(np.uint8).reshape(
+            n, words_per_lane * 4)
+        self.prev_nw = np.zeros(n, np.int32)
+        self.n_words = np.zeros(n, np.int32)
+        self.slice_starts = np.zeros((n, max_slices), np.int32)
+        self.slice_rows = np.zeros((n, max_slices), np.int32)
+        self.n_slices = np.zeros(n, np.int32)
+        self.pic_type = np.ones(n, np.int32)
+        self.full_pel = np.zeros(n, np.int32)
+        self.r_size = np.zeros(n, np.int32)
+        self.intra_q = np.tile(V.DEFAULT_INTRA_Q, (n, 1)) \
+            .astype(np.int32)
+        self.non_intra_q = np.tile(V.DEFAULT_NON_INTRA_Q, (n, 1)) \
+            .astype(np.int32)
+        self.active = np.zeros(n, bool)
+        self.pts = np.full(n, -1, np.int64)
+        # per-slot (source, seq_counter) key for the q-table rows; the
+        # source object (feed or SequenceInfo) is held so identity
+        # can't be recycled while the key is live
+        self.seq_src: list = [None] * n
+        self._slots = np.zeros(n, np.int32)
+
+    def begin_tick(self):
+        """Reset the per-lane meta vectors to the classic batch's
+        inactive-lane values (a stale n_slices would mark dead scan
+        rows alive; a stale n_words would inflate the device window).
+        words rows and prev_nw persist -- the native side zeroes each
+        row's stale region on the next pop."""
+        self.active[:] = False
+        self.pts[:] = -1
+        self.n_slices[:] = 0
+        self.n_words[:] = 0
+        self.pic_type[:] = 1
+        self.full_pel[:] = 0
+        self.r_size[:] = 0
+
+    def batch_dict(self) -> dict:
+        """make_picture_batch-compatible view.  words/slice arrays are
+        the persistent buffers (consumers copy: pack_slice_rows gathers
+        or trims); the small per-lane vectors are copied so a chunked
+        caller can stack several ticks."""
+        return dict(
+            words=self.words, slice_starts=self.slice_starts,
+            slice_rows=self.slice_rows, n_slices=self.n_slices.copy(),
+            pic_type=self.pic_type.copy(),
+            full_pel=self.full_pel.copy(), r_size=self.r_size.copy(),
+            intra_q=self.intra_q.copy(),
+            non_intra_q=self.non_intra_q.copy(),
+            active=self.active.copy(), n_words=self.n_words.copy(),
+            mb_width=self.mb_width, mb_height=self.mb_height)
+
+    def set_queues(self, slot: int, src, has_iq: bool, has_nq: bool,
+                   iq8, nq8, counter: int):
+        """Refresh the q-table rows when (src, counter) changed."""
+        key = (src, counter)
+        cur = self.seq_src[slot]
+        if cur is not None and cur[0] is src and cur[1] == counter:
+            return
+        self.seq_src[slot] = key
+        self.intra_q[slot] = np.asarray(iq8, np.int32) if has_iq \
+            else V.DEFAULT_INTRA_Q
+        self.non_intra_q[slot] = np.asarray(nq8, np.int32) if has_nq \
+            else V.DEFAULT_NON_INTRA_Q
+
+    def merge_picture(self, slot: int, pic) -> None:
+        """Classic-path merge for a lane the packed pop didn't cover
+        (non-native feed, overridden next_picture, capacity retry).
+        Mirrors make_picture_batch's per-lane body exactly."""
+        pl = pic.payload
+        n = len(pl)
+        pad = (-n) % 4
+        nw = (n + pad) // 4 + 4
+        assert nw <= self.words_per_lane, (nw, self.words_per_lane)
+        u8 = self.words_u8[slot]
+        u8[:n] = np.frombuffer(pl, np.uint8)
+        EOS = _EOS8
+        u8[n:n + pad + 16] = np.frombuffer(EOS[:pad] + EOS * 2,
+                                           np.uint8)
+        self.words[slot, :nw].byteswap(inplace=True)
+        hw = int(self.prev_nw[slot])
+        if hw > nw:
+            self.words[slot, nw:hw] = 0
+        self.prev_nw[slot] = nw
+        self.n_words[slot] = nw
+        k = len(pic.slice_offsets)
+        assert k <= self.max_slices
+        self.slice_starts[slot, :k] = pic.slice_offsets
+        self.slice_rows[slot, :k] = pic.slice_rows
+        self.n_slices[slot] = k
+        self.pic_type[slot] = pic.pic_type
+        self.full_pel[slot] = pic.full_pel
+        self.r_size[slot] = max(pic.r_size, 0)
+        self.set_queues(slot, pic.seq, True, True, pic.seq.intra_q,
+                        pic.seq.non_intra_q, 0)
+        self.active[slot] = True
+        self.pts[slot] = pic.pts
+
+
+_EOS8 = bytes([0x00, 0x00, 0x01, 0xB7]) * 2  # == BitReader.EOS
+
+
+def pop_many_packed(pb: PackedBatch, feeds, slots):
+    """One packed pop round: each feed's next complete picture lands
+    directly in pb's batch buffers at its fleet slot.  Returns
+    (rc [n], meta [n, M_COUNT], iq8 [n, 64], nq8 [n, 64]) scratch
+    views valid until the next pop_many/pop_many_packed call.
+    rc: 1 picture (row updated), 0 none, <0 capacity (NOT consumed --
+    resolve that lane via pop_picture + PackedBatch.merge_picture)."""
+    n = len(feeds)
+    pool = feeds[0]._pool
+    B = _batch_scratch(n)
+    B["lanes"][:n] = [f._lane for f in feeds]
+    sl = pb._slots
+    sl[:n] = slots
+    pool.L.sf_pop_pictures_packed(
+        pool.handle, B["lanes"].ctypes.data, n, sl.ctypes.data,
+        B["meta"].ctypes.data, pb.words.ctypes.data,
+        pb.words_per_lane, pb.prev_nw.ctypes.data,
+        pb.n_words.ctypes.data, pb.slice_starts.ctypes.data,
+        pb.slice_rows.ctypes.data, pb.max_slices,
+        B["iq"].ctypes.data, B["nq"].ctypes.data,
+        B["rc"].ctypes.data)
+    return B["rc"][:n], B["meta"][:n], B["iq"][:n], B["nq"][:n]
 
 
 class NativeStreamFeed:

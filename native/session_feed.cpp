@@ -429,6 +429,66 @@ int sf_pop_pictures(void* h, const int32_t* lanes, int n,
   return bad ? -1 : got;
 }
 
+// Packed batched pop: pops land DIRECTLY in the device batch layout
+// (models/mpeg1.py make_picture_batch), bypassing the per-picture
+// PictureData marshalling entirely.  words is the fleet's persistent
+// [n_slots, words_cap] uint32 buffer viewed as bytes; slots[i] selects
+// lane i's destination row.  Each popped payload is written in place,
+// EOS-padded (00 00 01 B7 x2 after pad bytes of the same pattern),
+// byteswapped to the device's big-endian word packing, and the stale
+// region above it (up to the row's previous high-water, prev_nw) is
+// zeroed so the row is bit-identical to a freshly zeroed batch row.
+// slice_off/slice_rows are the batch's own [n_slots, max_slices]
+// arrays.  rc semantics per lane match sf_pop_pictures (1/0/-1/-2);
+// -2 additionally covers payloads too big for the row (the picture is
+// NOT consumed -- the caller pops it via the scratch path and applies
+// the oversize policy).  Returns the number of pictures, or -1 if any
+// lane reported a capacity rc (caller resolves those lanes alone).
+int sf_pop_pictures_packed(void* h, const int32_t* lanes, int n,
+                           const int32_t* slots,
+                           int64_t* meta /* [n, M_COUNT] */,
+                           uint8_t* words, long words_cap /* u32s */,
+                           int32_t* prev_nw /* [n_slots] */,
+                           int32_t* n_words_out /* [n_slots] */,
+                           int32_t* slice_off /* [n_slots, max] */,
+                           int32_t* slice_rows, int max_slices,
+                           uint8_t* iq_out /* [n, 64] */,
+                           uint8_t* nq_out, int32_t* rc_out) {
+  static const uint8_t EOSPAT[8] = {0, 0, 1, 0xB7, 0, 0, 1, 0xB7};
+  Feed* f = (Feed*)h;
+  const long row_bytes = words_cap * 4;
+  int got = 0, bad = 0;
+  for (int i = 0; i < n; i++) {
+    Lane& L = f->lanes[lanes[i]];
+    const int32_t s = slots[i];
+    uint8_t* row = words + (long)s * row_bytes;
+    // cap so payload + pad + 16B EOS always fits words_cap words
+    int rc = pop_picture(L, meta + (long)i * M_COUNT, row,
+                         (words_cap - 4) * 4,
+                         slice_off + (long)s * max_slices,
+                         slice_rows + (long)s * max_slices, max_slices,
+                         iq_out + (long)i * 64, nq_out + (long)i * 64);
+    rc_out[i] = rc;
+    if (rc < 0) bad = 1;
+    if (rc != 1) continue;
+    got++;
+    const long plen = meta[(long)i * M_COUNT + M_PAYLOAD_LEN];
+    const long pad = (4 - (plen & 3)) & 3;
+    uint8_t* p = row + plen;
+    for (long j = 0; j < pad; j++) p[j] = EOSPAT[j];
+    memcpy(p + pad, EOSPAT, 8);
+    memcpy(p + pad + 8, EOSPAT, 8);
+    const long nw = (plen + pad) / 4 + 4;
+    uint32_t* w = (uint32_t*)row;
+    for (long j = 0; j < nw; j++) w[j] = __builtin_bswap32(w[j]);
+    if (prev_nw[s] > nw)
+      memset(row + nw * 4, 0, ((long)prev_nw[s] - nw) * 4);
+    prev_nw[s] = (int32_t)nw;
+    n_words_out[s] = (int32_t)nw;
+  }
+  return bad ? -1 : got;
+}
+
 // Batched feed: data is the concatenation of each lane's chunk;
 // offs[i]..offs[i+1] delimits lane i's bytes.  Returns count of lanes
 // now flagged sync_lost.

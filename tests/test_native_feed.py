@@ -181,6 +181,74 @@ def test_batched_pop_matches_per_lane(tmp_path):
     assert run(True) == run(False)
 
 
+def test_packed_gather_matches_classic_batch(tmp_path):
+    """_gather_batch_packed (pops land directly in the device batch
+    layout via sf_pop_pictures_packed) must produce bit-identical
+    batches to the classic _gather_pictures + make_picture_batch path,
+    tick for tick, including pts, containment flags and session
+    states."""
+    from espflix_tpu.models import mpeg1 as M
+    from espflix_tpu.tools.serve_scenario import build_fleet
+    root = tmp_path / "svcp"
+    SS.generate_service(str(root), ["a", "b"], seed=17, n_gops=2,
+                        gop=6)
+    url = "file://" + str(root)
+
+    def run(packed):
+        os.environ["ESPFLIX_PACKED_POP"] = "1" if packed else "0"
+        try:
+            fleet = build_fleet(url, 8, 2, words_per_lane=8192)
+            out = []
+            for _ in range(20):
+                g = fleet._gather_batch_packed()
+                if g is not None:
+                    b, pts, pre = g
+                else:
+                    pics, pts, pre = fleet._gather_pictures()
+                    b = M.make_picture_batch(
+                        pics, words_per_lane=fleet.words_per_lane,
+                        max_slices=fleet.mb_h,
+                        geometry=(fleet.mb_w, fleet.mb_h))
+                states = [s.state.name if s else None
+                          for s in fleet.sessions]
+                # the packed batch views the fleet's PERSISTENT
+                # buffers (production consumes them within the tick);
+                # holding ticks for comparison requires copies
+                b = {k: (v.copy() if isinstance(v, np.ndarray) else v)
+                     for k, v in b.items()}
+                out.append((b, np.asarray(pts).copy(), pre.copy(),
+                            states))
+            return out
+        finally:
+            os.environ.pop("ESPFLIX_PACKED_POP", None)
+
+    A = run(True)
+    B = run(False)
+    saw_active = False
+    for t, ((ba, ptsa, prea, sta), (bb, ptsb, preb, stb)) in \
+            enumerate(zip(A, B)):
+        assert sta == stb, t
+        assert np.array_equal(ptsa, ptsb), t
+        assert np.array_equal(prea, preb), t
+        act_a, act_b = np.asarray(ba["active"]), np.asarray(bb["active"])
+        assert np.array_equal(act_a, act_b), t
+        for k in ("pic_type", "full_pel", "r_size", "n_slices",
+                  "n_words"):
+            assert np.array_equal(np.asarray(ba[k]),
+                                  np.asarray(bb[k])), (t, k)
+        act = act_a
+        if act.any():
+            saw_active = True
+            # active rows must match EXACTLY, including the zero tails
+            # (the native side re-zeroes each row's stale region)
+            assert np.array_equal(ba["words"][act], bb["words"][act]), t
+            for k in ("slice_starts", "slice_rows", "intra_q",
+                      "non_intra_q"):
+                assert np.array_equal(np.asarray(ba[k])[act],
+                                      np.asarray(bb[k])[act]), (t, k)
+    assert saw_active
+
+
 def test_player_session_uses_native(tmp_path):
     """The factory returns the native feed and a session plays
     through it end to end."""
