@@ -532,7 +532,7 @@ def main():
         "pipeline": pipeline_used,
         "scatter": args.scatter,
         "mocomp": os.environ.get("ESPFLIX_MOCOMP", "pallas"),
-        "idct": os.environ.get("ESPFLIX_IDCT", "jnp"),
+        "idct": os.environ.get("ESPFLIX_IDCT", "pallasT"),
         "fallback_reason": fallback_reason,
     }))
 

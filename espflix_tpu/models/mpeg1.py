@@ -470,8 +470,13 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
         # (post-IDCT samples; the reference clamps them to 0..248
         # right after the add, player.cpp:183-236), and the halved
         # vreg traffic pays through the plane transpose AND compose
+        # default flipped to the one-pass VMEM kernel after round-4
+        # hardware measurement: 541-552 vs 471 rt streams/chip full
+        # path at 1024 lanes (docs/PERF.md round 4); ESPFLIX_IDCT=jnp
+        # restores the XLA chain
         if (jax.default_backend() == "tpu"
-                and os.environ.get("ESPFLIX_IDCT", "jnp") == "pallasT"):
+                and os.environ.get("ESPFLIX_IDCT",
+                                   "pallasT") == "pallasT"):
             # one VMEM-resident pass: the jnp chain's butterfly
             # concats and position transposes are HBM relayouts
             from espflix_tpu.ops.idct_pallas import \

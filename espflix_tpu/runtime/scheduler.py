@@ -73,6 +73,31 @@ class TickResult:
     tap_pdm: np.ndarray | None = None     # int32[tap, S] PDM words
 
 
+def bucket_policy(need: int, ns_rows: int, *, steps_long: int,
+                  steps_short: int, floor: int = 8):
+    """Single source of truth for sizing the two-bucket Pallas scan.
+
+    The slice rows are span-sorted, so the long bucket must absorb
+    `need` rows (every I picture's rows -- the host knows the picture
+    types).  `ns_rows` is the total row count of the batch (lanes x
+    mb_height, per shard when sharded).  Policy:
+
+      * long_rows = need rounded up to a power of two (so the number
+        of distinct jit variants stays logarithmic), clamped to
+        [floor, ns_rows - floor] and at most half the rows;
+      * a tick whose long rows exceed half the batch escalates the
+        SHORT bucket's budget to the long one instead (uniform
+        budget -- correct, just not cheaper).
+
+    Returns (long_rows, steps_long, steps_short).
+    """
+    if need > ns_rows // 2:
+        steps_short = steps_long
+    long_rows = M._quantize_pow2(min(need, max(ns_rows // 2, floor)),
+                                 floor, max(ns_rows - floor, floor))
+    return long_rows, steps_long, steps_short
+
+
 class Fleet:
     def __init__(self, n_lanes: int, width: int = 352, height: int = 192,
                  words_per_lane: int = 16384, mesh=None,
@@ -181,13 +206,8 @@ class Fleet:
             n_i = sum(1 for p in pics[s * ln:(s + 1) * ln]
                       if p is not None and p.pic_type == 1)
             need = max(need, n_i * self.mb_h)
-        NSl = ln * self.mb_h
-        steps_long, steps_short = 1024, 384
-        if need > NSl // 2:
-            steps_short = steps_long
-        long_rows = M._quantize_pow2(
-            min(need, max(NSl // 2, 1)), 1, max(NSl - 1, 1))
-        return long_rows, steps_long, steps_short
+        return bucket_policy(need, ln * self.mb_h, steps_long=1024,
+                             steps_short=384, floor=1)
 
     def _get_sharded_pallas(self, long_rows, steps_long, steps_short,
                             chunked: bool):
@@ -815,18 +835,14 @@ class Fleet:
                         * self.mb_h
                         for (pics, _, _) in gathered), default=8)
             need = max(need, 8)
-            long_rows = M._quantize_pow2(min(need, max(NS // 2, 8)),
-                                         8, max(NS - 8, 8))
-            # a tick whose I rows exceed half the fleet escalates the
-            # short bucket instead (uniform budget -- correct, just
-            # not cheaper)
-            steps_short = 512 if need <= NS // 2 else 2048
+            long_rows, steps_long, steps_short = bucket_policy(
+                need, NS, steps_long=2048, steps_short=512)
             with self.timers.measure("device_decode"):
                 self.frames, pres, errs = _chunk_decode_pallas(
                     sstk, self.frames, mb_width=self.mb_w,
                     mb_height=self.mb_h, n_lanes=self.n,
                     long_rows=long_rows,
-                    steps_long=2048, steps_short=steps_short,
+                    steps_long=steps_long, steps_short=steps_short,
                     interpret=self._pallas_interpret)
             ov = np.stack([sl_ov for sl_ov in
                            (sl["overflow"] for sl in sls)])
@@ -1160,16 +1176,9 @@ class Fleet:
         tap_idx = jnp.asarray(
             np.asarray(list(tap_lanes) or [0], np.int32))
 
-        # span-sorted rows: the long bucket absorbs the I slices.
-        # Budgets are static per jit variant; pow2 quantization keeps
-        # the variant count logarithmic, and a tick whose I rows
-        # exceed half the fleet escalates the short bucket instead
-        # (uniform budget -- correct, just not cheaper).
-        NS = self.n * self.mb_h
-        long_rows = M._quantize_pow2(min(need_long, max(NS // 2, 8)),
-                                     8, max(NS - 8, 8))
-        if need_long > NS // 2:
-            steps_short = steps_long
+        long_rows, steps_long, steps_short = bucket_policy(
+            need_long, self.n * self.mb_h, steps_long=steps_long,
+            steps_short=steps_short)
         with self.timers.measure("device_decode"):
             (self.frames, self.sbc_state, self.output.pdm_state,
              outs) = CH.run_full_chunk(
@@ -1254,10 +1263,9 @@ class Fleet:
             x["starved"] = g["starved"]
             xs_t.append(x)
 
-        long_rows = M._quantize_pow2(min(need_long, max(NS // 2, 8)),
-                                     8, max(NS - 8, 8))
-        if need_long > NS // 2:
-            steps_short = steps_long
+        long_rows, steps_long, steps_short = bucket_policy(
+            need_long, NS, steps_long=steps_long,
+            steps_short=steps_short)
 
         # regroup each tick's per-worker sorted rows into global
         # (long | short) segments: workers put their longest rows

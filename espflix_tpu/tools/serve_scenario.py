@@ -174,7 +174,8 @@ def run_scenario(fleet: Fleet, ticks: int, *, seed: int = 0,
                  action_every: int = 4, faults: int = 2,
                  decode_audio: bool = True,
                  snapshot_at: int | None = None,
-                 churn: bool = True, dispatch: str = "pipelined"):
+                 churn: bool = True, dispatch: str = "pipelined",
+                 tap_lanes=(0,), egress=None):
     """Drive the fleet through `ticks` pipelined ticks with scripted
     per-lane control actions and injected faults.
 
@@ -264,6 +265,10 @@ def run_scenario(fleet: Fleet, ticks: int, *, seed: int = 0,
             stats.full_ticks += 1
         if r.tap_fields is not None:
             stats.tap_field_bytes += int(np.asarray(r.tap_fields).size)
+            if egress is not None:
+                # hand the tapped lanes' DAC fields + PDM words to the
+                # paced line-rate consumer (runtime/egress.py)
+                egress.push(r.tap_fields, r.tap_pdm)
 
     t0 = time.time()
     if dispatch == "pipelined":
@@ -305,7 +310,7 @@ def run_scenario(fleet: Fleet, ticks: int, *, seed: int = 0,
                 snap = fleet.snapshot()
             k = min(K, ticks - t)
             if dispatch == "full":
-                rs = fleet.run_chunk_full(k, tap_lanes=(0,))
+                rs = fleet.run_chunk_full(k, tap_lanes=tap_lanes)
             else:
                 rs = fleet.run_chunk(k, decode_audio,
                                      fetch_frames=False)
@@ -426,6 +431,14 @@ def main(argv=None):
                          "host worker processes (runtime/hostpool.py;"
                          " requires --stage full).  The host-side "
                          "scaling knob: lanes/N per core.")
+    ap.add_argument("--egress", type=int, default=0,
+                    help="tap N lanes and drain their full DAC "
+                         "fields + PDM through a paced line-rate "
+                         "consumer (runtime/egress.py; requires "
+                         "--stage full).  Reports delivered bytes, "
+                         "underruns and drops.")
+    ap.add_argument("--egress-depth", type=int, default=8,
+                    help="egress ring depth in ticks")
     args = ap.parse_args(argv)
     dispatch = args.dispatch or (
         "full" if args.stage == "full" else "pipelined")
@@ -449,11 +462,21 @@ def main(argv=None):
 
     fleet = build_fleet(url, args.lanes, args.titles,
                         stage=args.stage)
+    pump = None
+    tap_lanes = (0,)
+    if args.egress:
+        assert args.stage == "full", "--egress requires --stage full"
+        from espflix_tpu.runtime.egress import EgressPump
+        tap_lanes = tuple(range(min(args.egress, args.lanes)))
+        pump = EgressPump(tick_interval=1.0 / 29.97,
+                          depth=args.egress_depth)
+        pump.start()
     half = args.ticks // 2
     stats, snap = run_scenario(
         fleet, args.ticks, seed=args.seed,
         decode_audio=not args.no_audio, snapshot_at=half,
-        dispatch=dispatch)
+        dispatch=dispatch, tap_lanes=tap_lanes, egress=pump)
+    est = pump.finish() if pump is not None else None
 
     # snapshot/restore into a second fleet: every playing lane resumes
     restored = 0
@@ -490,6 +513,19 @@ def main(argv=None):
         "frames_per_s": round(stats.frames / max(stats.wall_s, 1e-9), 1),
         "rt_streams_per_chip": round(stats.streams_per_chip(), 1),
     }
+    if est is not None:
+        out["egress"] = {
+            "tapped_lanes": len(tap_lanes),
+            "pushed_ticks": est.pushed_ticks,
+            "consumed_ticks": est.consumed_ticks,
+            "underrun_ticks": est.underrun_ticks,
+            "dropped_ticks": est.dropped_ticks,
+            "delivered_field_bytes": est.delivered_field_bytes,
+            "delivered_pdm_words": est.delivered_pdm_words,
+            "line_rate_MBps": round(
+                est.line_rate_bytes_per_s() / 1e6, 2),
+            "checksum": est.checksum,
+        }
     print(json.dumps(out))
     return out
 

@@ -178,3 +178,30 @@ def test_index_binary_roundtrip(service):
 def test_limit_key_quirk():
     assert limit_key("short") == "short"
     assert limit_key("a" * 20) == "a" * 15  # last 15 chars (ino:159-164)
+
+
+def test_bucket_policy():
+    """Single source of truth for the two-bucket scan sizing
+    (runtime/scheduler.bucket_policy): long bucket absorbs `need`
+    rows pow2-quantized, short budget escalates past half the rows."""
+    from espflix_tpu.runtime.scheduler import bucket_policy
+
+    NS = 1024 * 12
+    # small need: pow2 round-up, budgets untouched
+    lr, sl, ss = bucket_policy(100, NS, steps_long=1024,
+                               steps_short=384)
+    assert lr == 128 and (sl, ss) == (1024, 384)
+    # exactly half: no escalation; long_rows capped at NS//2 pow2
+    lr, sl, ss = bucket_policy(NS // 2, NS, steps_long=2048,
+                               steps_short=512)
+    assert ss == 512 and lr <= NS - 8
+    # past half: short escalates to long's budget
+    lr, sl, ss = bucket_policy(NS // 2 + 1, NS, steps_long=2048,
+                               steps_short=512)
+    assert ss == 2048
+    # floor honored at degenerate sizes
+    lr, sl, ss = bucket_policy(0, 24, steps_long=1024, steps_short=384,
+                               floor=1)
+    assert 1 <= lr <= 23
+    lr, _, _ = bucket_policy(5, 24, steps_long=1024, steps_short=384)
+    assert lr == 8
