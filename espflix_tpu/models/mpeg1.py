@@ -425,9 +425,11 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
         if use_pallas_mocomp is None:
             if jax.default_backend() == "tpu":
                 # ESPFLIX_MOCOMP selects the TPU production variant:
-                # "pallas" (predict kernel + XLA compose) or "fused2"
-                # (branch-free fused mocomp+compose kernel)
-                v = os.environ.get("ESPFLIX_MOCOMP", "pallas")
+                # "phase" (phase-stacked predict kernel, the round-4
+                # measured default: 571.8 vs 549 rt streams/chip),
+                # "pallas" (roll-window predict kernel + XLA compose)
+                # or "fused2" (branch-free fused mocomp+compose)
+                v = os.environ.get("ESPFLIX_MOCOMP", "phase")
                 use_pallas_mocomp = True if v == "pallas" else v
             else:
                 use_pallas_mocomp = False
@@ -437,6 +439,18 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
             # compose_plane_pallas2 after residual-plane assembly;
             # no predicted plane is ever materialized
             pred_y = pred_u = pred_v = None
+        elif use_pallas_mocomp == "phase":
+            # phase-stacked kernel: the four half-pel interpolations
+            # precompute once per lane, each MB visit is pure data
+            # movement, and u|v pack into one dual-plane call
+            # (ops/mocomp_pallas._phase_kernel)
+            from espflix_tpu.ops.mocomp_pallas import (
+                predict_chroma_pair_phase, predict_plane_phase)
+            interp = jax.default_backend() != "tpu"
+            pred_y = predict_plane_phase(ref_y, mv_h, mv_v, 16,
+                                         interpret=interp)
+            pred_u, pred_v = predict_chroma_pair_phase(
+                ref_u, ref_v, mv_h >> 1, mv_v >> 1, interpret=interp)
         elif use_pallas_mocomp:
             # VMEM-resident roll-based window extraction: bit-identical,
             # 2.7x the one-hot MXU path at 1024 lanes (ops/mocomp_pallas)

@@ -85,5 +85,89 @@ def modulate(pcm, state, *, n_samples: int,
     return pdm, jnp.stack(st, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("n_samples",
+                                             "samples_per_step"))
+def modulate_spec(pcm, state, *, n_samples: int,
+                  samples_per_step: int = 4):
+    """Speculative two-path formulation of `modulate` (bit-identical).
+
+    The plain recurrence's per-bit critical path runs compare ->
+    select -> i1 adds -> i2 adds (~5-6 dependent VPU ops).  Here BOTH
+    branch outcomes of every bit are computed as candidate states
+    hanging off the PREVIOUS bit's candidates (select commutes with
+    the update, so f_x(select(p, a, b)) == select(p, f_x(a), f_x(b))),
+    and the only serial chains are (a) the candidate update itself
+    (~3 dependent ops: shift, add, add) and (b) a 1-op boolean select
+    chain resolving each bit from precomputed candidate signs --
+    ~2x shorter critical path for ~4x the ALU work (lanes are one
+    (8,128) vreg at N=1024, so the extra ops are cheap next to the
+    chain latency).  int32 adds wrap, so the reassociation is exact.
+
+    Kept as an opt-in measured variant per the round-3 roadmap
+    (docs/PERF.md); semantics identical to `modulate`
+    (espflix.ino:73-107)."""
+    N, Tn = pcm.shape
+    assert Tn == n_samples
+    pcm32 = pcm.astype(jnp.int32) * 2
+    sps = samples_per_step
+    if Tn % sps:
+        sps = 1
+    steps = Tn // sps
+
+    def fstep(i1x, i2x, i0, neg: bool):
+        """One bit update assuming the branch sign (neg == i2 >= 0,
+        i.e. the 'subtract the DAC feedback' path)."""
+        d1 = -A1 if neg else A1
+        d2 = -A2 if neg else A2
+        i1n = i1x + i0 + d1 - (i2x >> 7)
+        i2n = i2x + i1n + d2
+        return i1n, i2n
+
+    def half_tick(i0, i1, i2, s):
+        i0 = (i0 + s) >> 1
+        # bit 0 resolves directly off the concrete entry state
+        p = i2 >= 0
+        bits = p.astype(jnp.int32)
+        i1a, i2a = fstep(i1, i2, i0, True)
+        i1b, i2b = fstep(i1, i2, i0, False)
+        for _ in range(15):
+            # candidate signs (parallel, off the serial chain)
+            sa = i2a >= 0
+            sb = i2b >= 0
+            pos = jnp.where(p, sa, sb)          # this bit's output
+            # next candidates from BOTH current candidates, then
+            # collapse with p (the branch bit resolved last step)
+            n1aa, n2aa = fstep(i1a, i2a, i0, True)
+            n1ab, n2ab = fstep(i1a, i2a, i0, False)
+            n1ba, n2ba = fstep(i1b, i2b, i0, True)
+            n1bb, n2bb = fstep(i1b, i2b, i0, False)
+            i1a = jnp.where(p, n1aa, n1ba)
+            i2a = jnp.where(p, n2aa, n2ba)
+            i1b = jnp.where(p, n1ab, n1bb)
+            i2b = jnp.where(p, n2ab, n2bb)
+            p = pos
+            bits = (bits << 1) | pos.astype(jnp.int32)
+        i1 = jnp.where(p, i1a, i1b)
+        i2 = jnp.where(p, i2a, i2b)
+        return i0, i1, i2, bits
+
+    xs = pcm32.T.reshape(steps, sps, N)
+
+    def step(carry, sv):
+        i0, i1, i2 = carry
+        out = []
+        for j in range(sps):
+            i0, i1, i2, b0 = half_tick(i0, i1, i2, sv[j])
+            i0, i1, i2, b1 = half_tick(i0, i1, i2, sv[j])
+            out.append(b0)
+            out.append(b1)
+        return (i0, i1, i2), jnp.stack(out)
+
+    st = (state[:, 0], state[:, 1], state[:, 2])
+    st, words = jax.lax.scan(step, st, xs)
+    pdm = words.reshape(2 * Tn, N).T
+    return pdm, jnp.stack(st, axis=1)
+
+
 def silence(n_lanes: int, n_words: int):
     return jnp.full((n_lanes, n_words), SILENCE_WORD, jnp.int32)

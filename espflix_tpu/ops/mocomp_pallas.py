@@ -347,6 +347,152 @@ def compose_plane_pallas(ref, cur, res, kind, mv_h, mv_v, active,
     return out[:, :, :W]
 
 
+def _phase_kernel(mvh_ref, mvv_ref, ref_ref, out_ref, ph, *, S, H, W,
+                  WP, mbh, mbw, T, HP, dual):
+    """Phase-stacked mocomp: all four half-pel interpolations are
+    precomputed ONCE per lane as full planes stacked on sublanes
+    (P00|P01|P10|P11, rounding exactly player.cpp:767-819), so each MB
+    visit is pure data movement -- one aligned sublane slice from the
+    stacked buffer at (phase*HP + y0a), one sublane roll, one lane
+    roll, one store; no per-visit interpolation arithmetic.  The MB
+    loop is op-count bound (~20 vector ops/visit in _kernel); this
+    drops it to ~12 and amortizes the interpolation over all
+    mb_count visits.
+
+    dual=True packs TWO chroma planes side by side on lanes (u at
+    cols [0, W), v at [192, 192+W)); u and v share MVs, so one lane
+    roll aligns both windows and one visit serves both planes."""
+    A = ref_ref[0]
+    Ax = pltpu.roll(A, WP - 1, 1)          # A[:, x+1] (wrap col WP-1
+    Ay = pltpu.roll(A, HP - 1, 0)          # unused: beyond W(+192) pad)
+    Axy = pltpu.roll(Ax, HP - 1, 0)        # A[y+1, x+1]
+    ph[0:HP, :] = A
+    ph[HP:2 * HP, :] = (A + Ax + 1) >> 1
+    ph[2 * HP:3 * HP, :] = (A + Ay + 1) >> 1
+    ph[3 * HP:4 * HP, :] = (A + Ax + Ay + Axy + 2) >> 2
+
+    def mb_row(r, _):
+        def one_col(c):
+            mh = mvh_ref[0, r, c]
+            mv = mvv_ref[0, r, c]
+            xh = c * 2 * S + mh
+            yh = r * 2 * S + mv
+            x0 = jnp.clip(xh >> 1, 0, W - S)
+            y0 = jnp.clip(yh >> 1, 0, H - S)
+            k = (yh & 1) * 2 + (xh & 1)
+            y0a = (y0 >> 3) << 3
+            d = y0 - y0a
+            if not dual and WP == 384:
+                # luma: narrow the whole slice+roll chain to the
+                # 256-lane span containing the window (dynamic lane
+                # slices are dependable at 128-lane granularity;
+                # x0 <= W-S = 336 so the two spans cover every case)
+                ls = jnp.where(x0 < 128, 0, 128)
+                win = ph[pl.ds(pl.multiple_of(k * HP + y0a, 8), T),
+                         pl.ds(pl.multiple_of(ls, 128), 256)]
+                win = pltpu.roll(win, jnp.where(d == 0, 0, T - d), 0)
+                w = win[0:S, :]
+                f = x0 - ls
+                w2 = pltpu.roll(w, jnp.where(f == 0, 0, 256 - f), 1)
+            else:
+                win = ph[pl.ds(pl.multiple_of(k * HP + y0a, 8), T), :]
+                win = pltpu.roll(win, jnp.where(d == 0, 0, T - d), 0)
+                w = win[0:S, :]
+                w2 = pltpu.roll(w, jnp.where(x0 == 0, 0, WP - x0), 1)
+            out_ref[0, pl.ds(pl.multiple_of(r * S, 8), S),
+                    c * S:(c + 1) * S] = w2[:, 0:S].astype(jnp.uint8)
+            if dual:
+                # v's window sits 192 lanes right of u's at the same
+                # offset; the shared roll already aligned it
+                out_ref[0, pl.ds(pl.multiple_of(r * S, 8), S),
+                        192 + c * S:192 + (c + 1) * S] = \
+                    w2[:, 192:192 + S].astype(jnp.uint8)
+        for c in range(mbw):
+            one_col(c)
+        return 0
+
+    jax.lax.fori_loop(0, mbh, mb_row, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mb_size", "interpret"))
+def predict_plane_phase(ref, mv_h, mv_v, mb_size: int,
+                        interpret: bool = False):
+    """predict_plane via the phase-stacked kernel (bit-identical to
+    predict_plane_pallas; see _phase_kernel)."""
+    N, H, W = ref.shape
+    mbh, mbw = mv_h.shape[1], mv_h.shape[2]
+    S = mb_size
+    assert mbh * S == H and mbw * S == W
+    T = _round_up(S + 1 + 7, 8)
+    HP = _round_up(H - S + T, 8)
+    WP = _round_up(W + 1, 128)
+    refp = jnp.pad(ref.astype(jnp.int32),
+                   ((0, 0), (0, HP - H), (0, WP - W)))
+    out = pl.pallas_call(
+        functools.partial(_phase_kernel, S=S, H=H, W=W, WP=WP,
+                          mbh=mbh, mbw=mbw, T=T, HP=HP, dual=False),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, HP, WP), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, WP), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H, WP), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((4 * HP, WP), jnp.int32)],
+        interpret=interpret,
+    )(mv_h, mv_v, refp)
+    return out[:, :, :W]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def predict_chroma_pair_phase(ref_u, ref_v, mv_h, mv_v,
+                              interpret: bool = False):
+    """Both chroma planes in ONE phase-stacked kernel call: u and v
+    share MVs and kinds, so they pack side by side on the lane axis
+    (u at cols [0, W), v at [192, 192+W)) and every MB visit serves
+    both with a single slice/roll chain -- half the chroma visits of
+    two predict_plane calls at the same per-visit cost.
+
+    ref_u/ref_v: uint8[N, H, W] with W <= 168+8 (the 352-wide
+    geometry's chroma); mv_h/mv_v at chroma scale.  Returns
+    (pred_u, pred_v) uint8[N, H, W]."""
+    N, H, W = ref_u.shape
+    mbh, mbw = mv_h.shape[1], mv_h.shape[2]
+    S = 8
+    assert mbh * S == H and mbw * S == W and W + S + 1 <= 192
+    T = _round_up(S + 1 + 7, 8)
+    HP = _round_up(H - S + T, 8)
+    WP = 384
+    refp = jnp.zeros((N, HP, WP), jnp.int32)
+    refp = refp.at[:, :H, :W].set(ref_u.astype(jnp.int32))
+    refp = refp.at[:, :H, 192:192 + W].set(ref_v.astype(jnp.int32))
+    out = pl.pallas_call(
+        functools.partial(_phase_kernel, S=S, H=H, W=W, WP=WP,
+                          mbh=mbh, mbw=mbw, T=T, HP=HP, dual=True),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, HP, WP), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, WP), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H, WP), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((4 * HP, WP), jnp.int32)],
+        interpret=interpret,
+    )(mv_h, mv_v, refp)
+    return out[:, :, :W], out[:, :, 192:192 + W]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mb_size", "interpret"))
 def predict_plane_pallas(ref, mv_h, mv_v, mb_size: int,

@@ -186,3 +186,90 @@ def test_fused_compose_matches_xla_dense_compose(variant):
                                   np.asarray(want_f[k])), (N, k)
         assert np.array_equal(np.asarray(got_f["parity"]),
                               np.asarray(want_f["parity"]))
+
+
+def test_phase_stacked_mocomp_matches_reference():
+    """predict_plane_phase + predict_chroma_pair_phase (phase-stacked
+    kernel, u|v dual-packed) must be bit-identical to predict_plane
+    for in-bounds MVs, both plane sizes, all four half-pel phases."""
+    import jax.numpy as jnp
+
+    from espflix_tpu.ops import mocomp as MC
+    from espflix_tpu.ops.mocomp_pallas import (predict_chroma_pair_phase,
+                                               predict_plane_phase)
+
+    rng = np.random.default_rng(6)
+    for (N, H, W, S) in ((2, 64, 128, 16), (2, 32, 64, 8),
+                         (1, 192, 352, 16)):  # WP=384: narrowed roll
+        mbh, mbw = H // S, W // S
+        ref = jnp.asarray(rng.integers(0, 249, (N, H, W),
+                                       dtype=np.uint8))
+        bx = np.arange(mbw)[None, None, :] * S
+        by = np.arange(mbh)[None, :, None] * S
+        mh = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                     -2 * bx, 2 * (W - S - bx) - 1).astype(np.int32)
+        mv = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                     -2 * by, 2 * (H - S - by) - 1).astype(np.int32)
+        want = np.asarray(MC.predict_plane(
+            ref, jnp.asarray(mh), jnp.asarray(mv), S))
+        got = np.asarray(predict_plane_phase(
+            ref, jnp.asarray(mh), jnp.asarray(mv), S, interpret=INTERP))
+        assert np.array_equal(got, want), ("single", N, H, W, S)
+
+    # dual chroma pack at the production geometry (96x176, S=8)
+    N, H, W, S = 2, 96, 176, 8
+    mbh, mbw = 12, 22
+    ru = jnp.asarray(rng.integers(0, 249, (N, H, W), dtype=np.uint8))
+    rv = jnp.asarray(rng.integers(0, 249, (N, H, W), dtype=np.uint8))
+    bx = np.arange(mbw)[None, None, :] * S
+    by = np.arange(mbh)[None, :, None] * S
+    mh = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                 -2 * bx, 2 * (W - S - bx) - 1).astype(np.int32)
+    mv = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                 -2 * by, 2 * (H - S - by) - 1).astype(np.int32)
+    gu, gv = predict_chroma_pair_phase(
+        ru, rv, jnp.asarray(mh), jnp.asarray(mv), interpret=INTERP)
+    assert np.array_equal(np.asarray(gu), np.asarray(
+        MC.predict_plane(ru, jnp.asarray(mh), jnp.asarray(mv), S)))
+    assert np.array_equal(np.asarray(gv), np.asarray(
+        MC.predict_plane(rv, jnp.asarray(mh), jnp.asarray(mv), S)))
+
+
+def test_dense_compose_phase_variant_bit_exact():
+    """dense_compose with use_pallas_mocomp='phase' equals the XLA
+    path on a real decoded batch."""
+    import jax.numpy as jnp
+
+    from espflix_tpu.models import mpeg1 as M
+    from espflix_tpu.ops import vlc_scan
+    from espflix_tpu.tools import mpeg1_encode as E
+
+    rng = np.random.default_rng(11)
+    sc = E.random_script(rng, n_pictures=2, width=96, height=64)
+    seq, pics = M.parse_es(E.encode_es(sc))
+    mbw, mbh = seq.mb_width, seq.mb_height
+    wpl = max((len(p.payload) + 3) // 4 + 4 for p in pics)
+    N = 2
+    fr_a = M.init_frame_state(N, mbw * 16, mbh * 16)
+    fr_b = M.init_frame_state(N, mbw * 16, mbh * 16)
+    for pic in pics:
+        b = M.make_picture_batch([pic] * N, words_per_lane=wpl,
+                                 max_slices=mbh)
+        st0 = vlc_scan.initial_state(
+            N, jnp.asarray(b["slice_starts"]),
+            jnp.asarray(b["slice_rows"]), jnp.asarray(b["n_slices"]),
+            jnp.asarray(b["pic_type"]), jnp.asarray(b["full_pel"]),
+            jnp.asarray(b["r_size"]))
+        coeffs, recs, nfinal, st, _ = vlc_scan.run_scan(
+            jnp.asarray(b["words"]), st0, mbw, mbw * mbh, wpl * 32)
+        args = (coeffs, recs, nfinal, jnp.asarray(b["intra_q"]),
+                jnp.asarray(b["non_intra_q"]), jnp.asarray(b["active"]))
+        fr_a, pa = M.dense_compose(*args, fr_a, mb_width=mbw,
+                                   mb_height=mbh,
+                                   use_pallas_mocomp=False)
+        fr_b, pb = M.dense_compose(*args, fr_b, mb_width=mbw,
+                                   mb_height=mbh,
+                                   use_pallas_mocomp="phase")
+        for k in ("y", "u", "v"):
+            assert np.array_equal(np.asarray(pa[k]),
+                                  np.asarray(pb[k])), k

@@ -92,6 +92,30 @@ def test_pdm_state_carries_across_calls():
                           np.asarray(whole))
 
 
+def test_pdm_speculative_bit_identical():
+    """modulate_spec (speculative two-path formulation) must be
+    bit-identical to modulate — same recurrence, reassociated only
+    where int32 wrap-around makes it exact — including carried state
+    across chunks and extreme PCM values."""
+    rng = np.random.default_rng(13)
+    pcm = np.concatenate([
+        rng.integers(-32768, 32768, (4, 224)),
+        np.full((4, 16), 32767), np.full((4, 16), -32768)],
+        axis=1).astype(np.int16)
+    st = DS.init_state(4)
+    want, wst = DS.modulate(pcm, st, n_samples=256)
+    got, gst = DS.modulate_spec(pcm, st, n_samples=256)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+    assert np.array_equal(np.asarray(gst), np.asarray(wst))
+    # chunked: state carries identically
+    g1, s1 = DS.modulate_spec(pcm[:, :128], st, n_samples=128)
+    g2, s2 = DS.modulate_spec(pcm[:, 128:], s1, n_samples=128)
+    assert np.array_equal(
+        np.concatenate([np.asarray(g1), np.asarray(g2)], axis=1),
+        np.asarray(want))
+    assert np.array_equal(np.asarray(s2), np.asarray(wst))
+
+
 def test_pal_output_geometry_and_clock(tmp_path):
     """PAL end-to-end at the runtime level: PAL fields from the output
     stage (312x1136 geometry) and PAL pacing in the session clock."""
