@@ -425,11 +425,13 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
         if use_pallas_mocomp is None:
             if jax.default_backend() == "tpu":
                 # ESPFLIX_MOCOMP selects the TPU production variant:
-                # "phase" (phase-stacked predict kernel, the round-4
-                # measured default: 571.8 vs 549 rt streams/chip),
-                # "pallas" (roll-window predict kernel + XLA compose)
-                # or "fused2" (branch-free fused mocomp+compose)
-                v = os.environ.get("ESPFLIX_MOCOMP", "phase")
+                # "hybrid" (phase-stack luma + packed dual chroma, the
+                # round-4 measured default: 23.4 vs 27.8 ms isolated
+                # at 1024 lanes), "phase" (phase-stacked both),
+                # "packed" (packed SWAR both), "pallas" (roll-window
+                # predict kernel + XLA compose) or "fused2"
+                # (branch-free fused mocomp+compose)
+                v = os.environ.get("ESPFLIX_MOCOMP", "hybrid")
                 use_pallas_mocomp = True if v == "pallas" else v
             else:
                 use_pallas_mocomp = False
@@ -450,6 +452,31 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
             pred_y = predict_plane_phase(ref_y, mv_h, mv_v, 16,
                                          interpret=interp)
             pred_u, pred_v = predict_chroma_pair_phase(
+                ref_u, ref_v, mv_h >> 1, mv_v >> 1, interpret=interp)
+        elif use_pallas_mocomp == "packed":
+            # packed SWAR phase stack: 4 px/uint32 word + 8
+            # pre-shifted sublane copies -- a visit is one (S, 128)
+            # slice, two lane rolls and a byte funnel
+            # (ops/mocomp_pallas._packed_kernel)
+            from espflix_tpu.ops.mocomp_pallas import (
+                predict_chroma_pair_packed, predict_plane_packed)
+            interp = jax.default_backend() != "tpu"
+            pred_y = predict_plane_packed(ref_y, mv_h, mv_v, 16,
+                                          interpret=interp)
+            pred_u, pred_v = predict_chroma_pair_packed(
+                ref_u, ref_v, mv_h >> 1, mv_v >> 1, interpret=interp)
+        elif use_pallas_mocomp == "hybrid":
+            # measured split decision (docs/PERF.md round 4): luma
+            # prefers the unpacked phase stack (15.3 vs 19.1 ms --
+            # the 8 pre-shifted packed copies cost more than packing
+            # saves on the big plane), chroma prefers the packed dual
+            # kernel (~8.3 vs ~12.5 ms for the u+v pair)
+            from espflix_tpu.ops.mocomp_pallas import (
+                predict_chroma_pair_packed, predict_plane_phase)
+            interp = jax.default_backend() != "tpu"
+            pred_y = predict_plane_phase(ref_y, mv_h, mv_v, 16,
+                                         interpret=interp)
+            pred_u, pred_v = predict_chroma_pair_packed(
                 ref_u, ref_v, mv_h >> 1, mv_v >> 1, interpret=interp)
         elif use_pallas_mocomp:
             # VMEM-resident roll-based window extraction: bit-identical,

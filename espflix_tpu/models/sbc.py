@@ -48,11 +48,11 @@ def frames_to_words(frames: np.ndarray) -> np.ndarray:
     """uint8[N, F, L] -> uint32[N, F, ceil(L/4)+1] big-endian words."""
     N, F, L = frames.shape
     pad = (-L) % 4 + 4
-    b = np.concatenate(
-        [frames, np.zeros((N, F, pad), np.uint8)], axis=-1)
-    w = b.reshape(N, F, -1, 4).astype(np.uint32)
-    return (w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8) \
-        | w[..., 3]
+    b = np.zeros((N, F, L + pad), np.uint8)
+    b[..., :L] = frames
+    w = b.view(np.uint32)
+    w.byteswap(inplace=True)
+    return w
 
 
 def _byte(words, k: int):

@@ -493,6 +493,184 @@ def predict_chroma_pair_phase(ref_u, ref_v, mv_h, mv_v,
     return out[:, :, :W], out[:, :, 192:192 + W]
 
 
+def _packed_kernel(mvh_ref, mvv_ref, ref_ref, out_ref, stk, *, S, H, W,
+                   mbh, mbw, HP, dual):
+    """Packed phase-stacked mocomp: pixels ride FOUR per uint32 word
+    (byte p&3 of word p>>2), so every slab the MB loop touches is 4x
+    narrower than _phase_kernel's and the plane width (352 px = 88
+    words) fits ONE 128-lane vreg span.  Two precomputes amortize over
+    all visits:
+
+      * the four half-pel interpolations in SWAR form -- ceil-average
+        (a|b) - (((a^b)>>1) & 0x7f..7f) for the 2-tap phases and
+        even/odd 16-bit-lane halves for the 4-tap (a+b+c+d+2)>>2 --
+        exactly player.cpp:767-819 per byte, no cross-byte carries;
+      * EIGHT sublane-pre-shifted copies of the 4-phase stack
+        (stk[(d*4+k)*HP + r] = phase_k[r + d]), so a visit's row
+        alignment d = y0 - y0a is a stack INDEX, not a roll.
+
+    A visit is then: one aligned (S, 128) sublane slice, two lane
+    rolls (word q = x0>>2 and its +1 neighbor), one byte-funnel
+    ((wa >> 8s) | (wb << 32-8s), s = x0&3), one packed store --
+    ~4x less vreg traffic per visit than _phase_kernel.
+
+    dual packs u at words [0, 48) and v at [48, 96) (byte cols 192+);
+    one shared roll aligns both chroma windows per visit."""
+    _M7 = np.uint32(0x7F7F7F7F)
+    _ME = np.uint32(0x00FF00FF)
+    _R2 = np.uint32(0x00020002)
+    _U1 = np.uint32(1)
+    _U2 = np.uint32(2)
+    _U8 = np.uint32(8)
+    _U24 = np.uint32(24)
+    A = ref_ref[0]
+    An = pltpu.roll(A, 127, 1)             # word w+1 (wraps into pad)
+    Ax = (A >> _U8) | (An << _U24)         # pixels x+1
+    Ay = pltpu.roll(A, HP - 1, 0)          # pixels y+1
+    Ayn = pltpu.roll(Ay, 127, 1)
+    Axy = (Ay >> _U8) | (Ayn << _U24)
+
+    def ceil_avg(a, b):                    # per byte: (a + b + 1) >> 1
+        return (a | b) - (((a ^ b) >> _U1) & _M7)
+
+    stk[0:HP, :] = A
+    stk[HP:2 * HP, :] = ceil_avg(A, Ax)
+    stk[2 * HP:3 * HP, :] = ceil_avg(A, Ay)
+    # (a+b+c+d+2)>>2 per byte: even/odd bytes widen to the 16-bit
+    # halves of the word (sums <= 4*255+2 fit), round, re-pack
+    se = (A & _ME) + (Ax & _ME) + (Ay & _ME) + (Axy & _ME) + _R2
+    so = ((A >> _U8) & _ME) + ((Ax >> _U8) & _ME) \
+        + ((Ay >> _U8) & _ME) + ((Axy >> _U8) & _ME) + _R2
+    stk[3 * HP:4 * HP, :] = ((se >> _U2) & _ME) \
+        | (((so >> _U2) & _ME) << _U8)
+    for d in range(1, 8):
+        # shift-d copy; rows that wrap across a phase boundary are
+        # never read (visits stop at y0 + S - 1 <= H - 1 < HP - d)
+        stk[d * 4 * HP:(d + 1) * 4 * HP, :] = pltpu.roll(
+            stk[0:4 * HP, :], 4 * HP - d, 0)
+
+    WB = S // 4                            # output words per block
+    VOW = 48                               # v's word offset when dual
+
+    def mb_row(r, _):
+        def one_col(c):
+            mh = mvh_ref[0, r, c]
+            mv = mvv_ref[0, r, c]
+            xh = c * 2 * S + mh
+            yh = r * 2 * S + mv
+            x0 = jnp.clip(xh >> 1, 0, W - S)
+            y0 = jnp.clip(yh >> 1, 0, H - S)
+            k = (yh & 1) * 2 + (xh & 1)
+            y0a = (y0 >> 3) << 3
+            d = y0 - y0a
+            q = x0 >> 2
+            s = x0 & 3
+            base = (d * 4 + k) * HP + y0a
+            slab = stk[pl.ds(pl.multiple_of(base, 8), S), :]
+            wa = pltpu.roll(slab, jnp.where(q == 0, 0, 128 - q), 1)
+            wb = pltpu.roll(slab, 127 - q, 1)
+            sl = (s << 3).astype(jnp.uint32)
+            sh2 = (jnp.uint32(32) - sl) & jnp.uint32(31)
+            outw = jnp.where(s == 0, wa, (wa >> sl) | (wb << sh2))
+            out_ref[0, pl.ds(pl.multiple_of(r * S, 8), S),
+                    c * WB:(c + 1) * WB] = outw[:, 0:WB]
+            if dual:
+                out_ref[0, pl.ds(pl.multiple_of(r * S, 8), S),
+                        VOW + c * WB:VOW + (c + 1) * WB] = \
+                    outw[:, VOW:VOW + WB]
+        for c in range(mbw):
+            one_col(c)
+        return 0
+
+    jax.lax.fori_loop(0, mbh, mb_row, 0)
+
+
+def _pack_words(planes, HP: int):
+    """uint8[N, H, W] planes -> one packed uint32[N, HP, 128] (pixel
+    p at byte p & 3 of word p >> 2; little-endian bitcast).  planes is
+    a list of (plane, byte_col) laid side by side."""
+    N = planes[0][0].shape[0]
+    b = jnp.zeros((N, HP, 512), jnp.uint8)
+    for p, col in planes:
+        b = b.at[:, :p.shape[1], col:col + p.shape[2]].set(p)
+    return jax.lax.bitcast_convert_type(
+        b.reshape(N, HP, 128, 4), jnp.uint32)
+
+
+def _unpack_words(out, W: int, col: int = 0):
+    """uint32[N, H, 128] -> uint8[N, H, W] from byte column col."""
+    N, H, _ = out.shape
+    u8 = jax.lax.bitcast_convert_type(out, jnp.uint8)
+    return u8.reshape(N, H, 512)[:, :, col:col + W]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mb_size", "interpret"))
+def predict_plane_packed(ref, mv_h, mv_v, mb_size: int,
+                         interpret: bool = False):
+    """predict_plane via the packed SWAR phase-stacked kernel
+    (bit-identical; see _packed_kernel)."""
+    N, H, W = ref.shape
+    mbh, mbw = mv_h.shape[1], mv_h.shape[2]
+    S = mb_size
+    assert mbh * S == H and mbw * S == W and W + S + 1 <= 512
+    HP = _round_up(H + 1, 8)
+    refp = _pack_words([(ref, 0)], HP)
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, S=S, H=H, W=W, mbh=mbh,
+                          mbw=mbw, HP=HP, dual=False),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, HP, 128), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, 128), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H, 128), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((32 * HP, 128), jnp.uint32)],
+        interpret=interpret,
+    )(mv_h, mv_v, refp)
+    return _unpack_words(out, W)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def predict_chroma_pair_packed(ref_u, ref_v, mv_h, mv_v,
+                               interpret: bool = False):
+    """Both chroma planes through ONE packed kernel call (u at byte
+    cols [0, 192), v at [192, 384)); shared MVs mean one slice/roll
+    chain serves both windows per visit.  Bit-identical to
+    predict_plane on each plane."""
+    N, H, W = ref_u.shape
+    mbh, mbw = mv_h.shape[1], mv_h.shape[2]
+    S = 8
+    assert mbh * S == H and mbw * S == W and W + S + 1 <= 192
+    HP = _round_up(H + 1, 8)
+    refp = _pack_words([(ref_u, 0), (ref_v, 192)], HP)
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, S=S, H=H, W=W, mbh=mbh,
+                          mbw=mbw, HP=HP, dual=True),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, HP, 128), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, 128), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H, 128), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((32 * HP, 128), jnp.uint32)],
+        interpret=interpret,
+    )(mv_h, mv_v, refp)
+    return _unpack_words(out, W), _unpack_words(out, W, 192)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mb_size", "interpret"))
 def predict_plane_pallas(ref, mv_h, mv_v, mb_size: int,

@@ -74,7 +74,8 @@ def row_perm(lane_of_row: np.ndarray, rows: np.ndarray,
 
 
 def pack_slice_rows_sharded(batch: dict, n_shards: int,
-                            mb_height: int):
+                            mb_height: int,
+                            device_windows: bool = False):
     """Host-side packing for the shard_map'ed Pallas parser.
 
     Splits the lane axis into n_shards contiguous groups, span-sorts
@@ -84,8 +85,14 @@ def pack_slice_rows_sharded(batch: dict, n_shards: int,
     P('streams') on axis 0, each shard scans exactly its own lanes'
     rows -- zero data-path ICI, same as the XLA parser.
 
+    device_windows=True ships per-LANE words ('lane_words' [N, Wm],
+    shard-local 'row_base', static 'win') instead of the pre-built
+    [NS, Wp] row windows, for on-device window gathering
+    (vlc_scan_pallas.gather_scan_rows) -- ~12x fewer host->device
+    bytes, same as the unsharded packer.
+
     Returns (sl dict with concatenated row arrays + 'perm', dup
-    bool[N], need_long int = max per-shard I-bucket size in rows).
+    bool[N]).
     """
     from espflix_tpu.ops import vlc_scan_pallas as VP
     N = len(batch["active"])
@@ -94,8 +101,10 @@ def pack_slice_rows_sharded(batch: dict, n_shards: int,
     parts = []
     perms = []
     dups = []
-    keys = ("words", "start_bits", "rows", "alive", "pic_type",
-            "full_pel", "r_size", "lane_of_row")
+    keys = (("lane_words", "row_base") if device_windows
+            else ("words",)) + (
+        "start_bits", "rows", "alive", "pic_type",
+        "full_pel", "r_size", "lane_of_row")
     for s in range(n_shards):
         sub = {}
         for k, v in batch.items():
@@ -104,21 +113,26 @@ def pack_slice_rows_sharded(batch: dict, n_shards: int,
                 sub[k] = v[s * ln:(s + 1) * ln]
             else:
                 sub[k] = v
-        sl = VP.pack_slice_rows(sub, sort_rows=True)
+        sl = VP.pack_slice_rows(sub, sort_rows=True,
+                                device_windows=device_windows)
         perm, dup = row_perm(sl["lane_of_row"], sl["rows"],
                              sl["alive"], ln, mb_height)
         parts.append(sl)
         perms.append(perm)
         dups.append(dup)
-    Wp = max(p["words"].shape[1] for p in parts)
+    wk = "lane_words" if device_windows else "words"
+    Wp = max(p[wk].shape[1] for p in parts)
     for p in parts:
-        w = p["words"]
+        w = p[wk]
         if w.shape[1] < Wp:
-            p["words"] = np.pad(w, ((0, 0), (0, Wp - w.shape[1])))
+            p[wk] = np.pad(w, ((0, 0), (0, Wp - w.shape[1])))
     out = {k: np.concatenate([p[k] for p in parts]) for k in keys}
     out["perm"] = np.concatenate(perms)
     out["overflow"] = np.concatenate([p["overflow"] for p in parts])
-    out["ns_local"] = parts[0]["words"].shape[0] // 1  # rows per shard
+    if device_windows:
+        # the on-device gather window must be uniform across shards
+        out["win"] = max(p["win"] for p in parts)
+    out["ns_local"] = parts[0]["start_bits"].shape[0]  # rows per shard
     return out, np.concatenate(dups)
 
 
@@ -180,43 +194,68 @@ def log_to_dense_rows(log_idx, log_val, rowbase_mb, *, mb_width: int,
     (tile_c, pos_c, ok_c, tile_a, slot_n, ok_r, ok_n, ok_a,
      dropped) = _decode_slots(liT, rowbase_mb, mb_width, mb_count)
 
+    # All contractions run as SINGLE-PASS bf16 matmuls with f32
+    # accumulation, exact by 8-bit value splitting: the one-hot
+    # operands are 0/1 (bf16-exact), every value rides as v = hi*256
+    # + lo with |hi| <= 128 and lo in [0, 256) (ints <= 256 are
+    # bf16-exact), and each output slot receives at most one emission
+    # (unique targets), so no sum ever leaves the exact range.  This
+    # replaces the round-3 f32 Precision.HIGHEST form: ~3x fewer MXU
+    # passes and half the operand HBM traffic (the [R, TC, T] one-hot
+    # is the biggest materialized operand of the tick).  An int8
+    # 3-digit MXU form (s8 x s8 -> s32, 25% less operand traffic at 2x
+    # MXU rate) measured WORSE on hardware (12.9 vs 10.0 ms at bench
+    # shapes) -- XLA's s8 path loses more to layout/accumulation than
+    # the traffic saves; recorded as a negative in docs/PERF.md.
+    bf = jnp.bfloat16
     f = jnp.float32
-    val_f = lvT.astype(f)
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=f)
+
     # ---- coefficient window: [R, TC, T] @ [R, T, 64] ----------------
     iota_tc = jnp.arange(TC, dtype=jnp.int32)
     Mc = ((tile_c[:, None, :] == iota_tc[None, :, None]) &
-          ok_c[:, None, :]).astype(f)
+          ok_c[:, None, :]).astype(bf)
     iota64 = jnp.arange(64, dtype=jnp.int32)
-    Pc = jnp.where((pos_c[:, :, None] == iota64[None, None, :]) &
-                   ok_c[:, :, None], val_f[:, :, None], 0.0)
+    onehot_c = (pos_c[:, :, None] == iota64[None, None, :]) & \
+        ok_c[:, :, None]
+    v16 = lvT.astype(jnp.int16)
+    vlo = (v16 & 255).astype(bf)
+    vhi = (v16 >> 8).astype(bf)
+    Pc_lo = jnp.where(onehot_c, vlo[:, :, None], bf(0))
+    Pc_hi = jnp.where(onehot_c, vhi[:, :, None], bf(0))
     if transposed:
-        out_c = jax.lax.dot_general(
-            Pc, Mc, (((1,), (2,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGHEST)      # [R, 64, TC]
-        coef = out_c.astype(jnp.int32).astype(jnp.int16)
+        dims = (((1,), (2,)), ((0,), (0,)))
+        out_c = dot(Pc_lo, Mc, dims) + 256.0 * dot(Pc_hi, Mc, dims)
+        coef = out_c.astype(jnp.int32).astype(jnp.int16)  # [R,64,TC]
     else:
-        out_c = jax.lax.dot_general(
-            Mc, Pc, (((2,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGHEST)      # [R, TC, 64]
+        dims = (((2,), (1,)), ((0,), (0,)))
+        out_c = dot(Mc, Pc_lo, dims) + 256.0 * dot(Mc, Pc_hi, dims)
         coef = out_c.astype(jnp.int32).astype(jnp.int16) \
             .reshape(R, TC * 64)
 
-    # ---- aux window: rec (lo/hi 16-bit halves) + nfinal -------------
+    # ---- aux window: rec (four 8-bit quarters) + nfinal -------------
     iota_a = jnp.arange(mb_width, dtype=jnp.int32)
     Ma = ((tile_a[:, None, :] == iota_a[None, :, None]) &
-          ok_a[:, None, :]).astype(f)
-    lo = (lvT & 0xFFFF).astype(f)
-    hi = ((lvT >> 16) & 0x7FFF).astype(f)
+          ok_a[:, None, :]).astype(bf)
     cols = []
     for s in range(6):
-        cols.append(jnp.where(ok_n & (slot_n == s), val_f, 0.0))
-    cols.append(jnp.where(ok_r, lo, 0.0))
-    cols.append(jnp.where(ok_r, hi, 0.0))
-    Pa = jnp.stack(cols, axis=2)                      # [R, T, 8]
-    out_a = jax.lax.dot_general(
-        Ma, Pa, (((2,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST)          # [R, mbw, 8]
-    aux = out_a.astype(jnp.int32)
+        # nfinal <= 64: bf16-exact directly
+        cols.append(jnp.where(ok_n & (slot_n == s),
+                              lvT.astype(bf), bf(0)))
+    for sh in (0, 8, 16, 24):
+        q = ((lvT >> sh) & 0xFF).astype(bf)
+        cols.append(jnp.where(ok_r, q, bf(0)))
+    Pa = jnp.stack(cols, axis=2)                      # [R, T, 10]
+    out_a = dot(Ma, Pa, (((2,), (1,)), ((0,), (0,))))  # [R, mbw, 10]
+    oi = out_a.astype(jnp.int32)
+    rec = (oi[..., 6] | (oi[..., 7] << 8) | (oi[..., 8] << 16)
+           | (oi[..., 9] << 24))
+    aux = jnp.concatenate(
+        [oi[..., :6], (rec & 0xFFFF)[..., None],
+         ((rec >> 16) & 0x7FFF)[..., None]], axis=2)
 
     return coef, aux, dropped.any(axis=1)
 

@@ -65,28 +65,20 @@ def beep_wave(n_samples: int) -> np.ndarray:
     return (_SIN32[np.arange(n_samples) & 31] >> 2).astype(np.int16)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("mb_width", "mb_height", "n_lanes",
-                              "long_rows", "steps_long", "steps_short",
-                              "n_aud_frames", "channels", "pal",
-                              "scrolled", "tap", "interpret",
-                              "return_planes", "win"))
-def run_full_chunk(xs, frames, sbc_state, ds_state, tap_idx, slide,
-                   *, mb_width: int, mb_height: int, n_lanes: int,
-                   long_rows: int, steps_long: int, steps_short: int,
-                   n_aud_frames: int, channels: int, pal: bool,
-                   scrolled: bool, tap: int, interpret: bool,
-                   return_planes: bool = True, win: int = 0):
-    """One dispatch: K full decode->signal ticks.
+def _chunk_scan(xs, frames, sbc_state, ds_state, tap_idx, slide,
+                *, mb_width: int, mb_height: int, n_lanes: int,
+                long_rows: int, steps_long: int, steps_short: int,
+                n_aud_frames: int, channels: int, pal: bool,
+                scrolled: bool, tap: int, interpret: bool,
+                return_planes: bool = True, win: int = 0,
+                lane0=0, psum_axis: str | None = None):
+    """The chain core: K full decode->signal ticks as one lax.scan.
 
-    xs: dict of [K, ...] per-tick inputs (DECODE_KEYS + OUTPUT_KEYS,
-    plus hscroll when scrolled).  tap_idx: int32[max(tap,1)] lanes to
-    return full signal for.  slide: (y,u,v) outgoing-frame snapshots
-    for the scroll animation (zeros when unused).
-
-    Returns (frames, sbc_state, ds_state, outs) with outs per tick:
-    pres y/u/v [K,N,H,W], err [K,N], field_sum/pdm_sum [K,N] int32,
-    audio_err [K,N], tap_fields [K,tap,2,L,W] u8, tap_pdm [K,tap,S].
+    Called directly by run_full_chunk (single device) and per shard by
+    make_sharded_full_chunk (n_lanes = LOCAL lanes, lane0 = this
+    shard's first global lane, psum_axis = the 'streams' mesh axis --
+    the only cross-shard traffic is the tapped lanes' signal, gathered
+    with a masked psum).
     """
     from espflix_tpu.ops import vlc_scan_pallas as VP
 
@@ -155,11 +147,142 @@ def run_full_chunk(xs, frames, sbc_state, ds_state, tap_idx, slide,
             out["ysum"] = p["y"].astype(jnp.int32).sum(
                 axis=(1, 2), dtype=jnp.int32)
         if tap:
-            out["tap_fields"] = CP.unpack_fields(
-                jnp.take(fields_p, tap_idx[:tap], axis=0))
-            out["tap_pdm"] = jnp.take(pdm, tap_idx[:tap], axis=0)
+            if psum_axis is None:
+                out["tap_fields"] = CP.unpack_fields(
+                    jnp.take(fields_p, tap_idx[:tap], axis=0))
+                out["tap_pdm"] = jnp.take(pdm, tap_idx[:tap], axis=0)
+            else:
+                # tap_idx is GLOBAL under the mesh: each shard
+                # contributes its own lanes (masked), psum over the
+                # streams axis assembles the full tap set on every
+                # shard -- the only data-path ICI in the chain, sized
+                # by the (small, static) tap count
+                li = tap_idx[:tap] - lane0
+                inside = (li >= 0) & (li < n_lanes)
+                lc = jnp.clip(li, 0, n_lanes - 1)
+                tf = CP.unpack_fields(
+                    jnp.take(fields_p, lc, axis=0)).astype(jnp.int32)
+                tf = jnp.where(inside[:, None, None, None], tf, 0)
+                out["tap_fields"] = jax.lax.psum(
+                    tf, psum_axis).astype(jnp.uint8)
+                tp = jnp.where(inside[:, None],
+                               jnp.take(pdm, lc, axis=0), 0)
+                out["tap_pdm"] = jax.lax.psum(tp, psum_axis)
         return (frames, sbc_state, ds_state), out
 
     (frames, sbc_state, ds_state), outs = jax.lax.scan(
         body, (frames, sbc_state, ds_state), xs)
     return frames, sbc_state, ds_state, outs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mb_width", "mb_height", "n_lanes",
+                              "long_rows", "steps_long", "steps_short",
+                              "n_aud_frames", "channels", "pal",
+                              "scrolled", "tap", "interpret",
+                              "return_planes", "win"))
+def run_full_chunk(xs, frames, sbc_state, ds_state, tap_idx, slide,
+                   *, mb_width: int, mb_height: int, n_lanes: int,
+                   long_rows: int, steps_long: int, steps_short: int,
+                   n_aud_frames: int, channels: int, pal: bool,
+                   scrolled: bool, tap: int, interpret: bool,
+                   return_planes: bool = True, win: int = 0):
+    """One dispatch: K full decode->signal ticks.
+
+    xs: dict of [K, ...] per-tick inputs (DECODE_KEYS + OUTPUT_KEYS,
+    plus hscroll when scrolled).  tap_idx: int32[max(tap,1)] lanes to
+    return full signal for.  slide: (y,u,v) outgoing-frame snapshots
+    for the scroll animation (zeros when unused).
+
+    Returns (frames, sbc_state, ds_state, outs) with outs per tick:
+    pres y/u/v [K,N,H,W], err [K,N], field_sum/pdm_sum [K,N] int32,
+    audio_err [K,N], tap_fields [K,tap,2,L,W] u8, tap_pdm [K,tap,S].
+    """
+    return _chunk_scan(
+        xs, frames, sbc_state, ds_state, tap_idx, slide,
+        mb_width=mb_width, mb_height=mb_height, n_lanes=n_lanes,
+        long_rows=long_rows, steps_long=steps_long,
+        steps_short=steps_short, n_aud_frames=n_aud_frames,
+        channels=channels, pal=pal, scrolled=scrolled, tap=tap,
+        interpret=interpret, return_planes=return_planes, win=win)
+
+
+_SHARDED_CACHE: dict = {}
+
+
+def make_sharded_full_chunk(mesh, *, mb_width: int, mb_height: int,
+                            n_lanes: int, long_rows: int,
+                            steps_long: int, steps_short: int,
+                            n_aud_frames: int, channels: int,
+                            pal: bool, scrolled: bool, tap: int,
+                            interpret: bool,
+                            return_planes: bool = False,
+                            win: int = 0,
+                            xs_keys: tuple = ()):
+    """The full chain under the mesh: run_full_chunk's body
+    shard_map'ed over the 'streams' axis (SURVEY.md 2.3 DP; zero
+    data-path ICI except the masked-psum tap gather).  n_lanes is the
+    GLOBAL lane count; long_rows and the step budgets are per SHARD
+    (callers size them for the worst shard, scheduler.bucket_policy).
+
+    Every xs leaf is [K, lanes-or-rows, ...] with the lane/row axis
+    sharded P(None, 'streams'); rows come pre-packed per shard
+    (scan_dense.pack_slice_rows_sharded: shard-local lane_of_row /
+    perm / span sort).  Carries (frames, sbc, pdm state) shard on
+    axis 0.  Same returns as run_full_chunk.
+    """
+    xs_keys = tuple(sorted(xs_keys)) or (
+        (DECODE_KEYS_DW[:9] if win else DECODE_KEYS[:9])
+        + DECODE_KEYS[9:] + OUTPUT_KEYS
+        + (SCROLL_KEYS if scrolled else ()))
+    key = (mesh, mb_width, mb_height, n_lanes, long_rows, steps_long,
+           steps_short, n_aud_frames, channels, pal, scrolled, tap,
+           interpret, return_planes, win, xs_keys)
+    fn = _SHARDED_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    import inspect
+
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map          # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    _params = inspect.signature(shard_map).parameters
+    _check = {"check_vma": False} if "check_vma" in _params \
+        else {"check_rep": False}
+
+    n_sh = mesh.shape["streams"]
+    assert n_lanes % n_sh == 0
+    n_loc = n_lanes // n_sh
+
+    def body(xs, frames, sbc_state, ds_state, tap_idx, slide):
+        lane0 = jax.lax.axis_index("streams") * n_loc
+        return _chunk_scan(
+            xs, frames, sbc_state, ds_state, tap_idx, slide,
+            mb_width=mb_width, mb_height=mb_height, n_lanes=n_loc,
+            long_rows=long_rows, steps_long=steps_long,
+            steps_short=steps_short, n_aud_frames=n_aud_frames,
+            channels=channels, pal=pal, scrolled=scrolled, tap=tap,
+            interpret=interpret, return_planes=return_planes,
+            win=win, lane0=lane0, psum_axis="streams")
+
+    ls = P("streams")                      # lane-major carries
+    ks = P(None, "streams")                # [K, lanes/rows, ...] xs
+    xs_spec = {k: ks for k in xs_keys}
+    frames_spec = dict(y=ls, u=ls, v=ls, parity=ls)
+    slide_spec = (ls, ls, ls) if scrolled else (P(), P(), P())
+    in_specs = (xs_spec, frames_spec, ls, ls, P(), slide_spec)
+    outs_spec = dict(err=ks, audio_err=ks, field_sum=ks, pdm_sum=ks)
+    if return_planes:
+        outs_spec.update(y=ks, u=ks, v=ks)
+    else:
+        outs_spec["ysum"] = ks
+    if tap:
+        outs_spec.update(tap_fields=P(), tap_pdm=P())
+    out_specs = (frames_spec, ls, ls, outs_spec)
+    fn = jax.jit(shard_map(body, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, **_check))
+    _SHARDED_CACHE[key] = fn
+    return fn

@@ -40,6 +40,11 @@ class Ev(IntEnum):
     LANE_OVERSIZE = 24      # picture payload exceeds words_per_lane
     AUDIO_STARVED = 25      # playing lane underran its SBC ring
     AUDIO_ERROR = 26        # SBC decode anomaly (video.cpp:1013-1014)
+    AUDIO_OP_POINT = 27     # lane's SBC channel/block config differs
+    # from the fleet chain's group: its audio is silent in the fused
+    # chain until it lands on a matching fleet (value = channels<<8 |
+    # blocks).  Frame-SIZE diversity is handled (headers are
+    # self-describing); only channel-count/blocks diversity parks.
 
 
 @dataclass

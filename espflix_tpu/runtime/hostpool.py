@@ -92,11 +92,14 @@ def _worker_main(conn, lane_lo, lane_hi, words_per_lane, mb_w, mb_h):
                                 sl["alive"], n, mb_h)
         pre_errors |= dup | sl["overflow"]
 
-        # audio: one op point, array pops
+        # audio: group by CHANNELS only (frame sizes are per-lane
+        # free; SBC headers are self-describing -- see
+        # Fleet._gather_audio_arrays)
         starved = np.zeros(n, bool)
         act = np.zeros(n, bool)
         nval = np.zeros(n, np.int32)
         frames = []
+        fs_max = 16
         for i, s in enumerate(sessions):
             if s is None:
                 continue
@@ -104,9 +107,9 @@ def _worker_main(conn, lane_lo, lane_hi, words_per_lane, mb_w, mb_h):
             if not (ring.discover(probe) and ring.frame_size):
                 continue
             if aud_op[0] is None and ring.blocks == 16:
-                aud_op[0] = (ring.frame_size, ring.channels)
+                aud_op[0] = ring.channels
             if aud_op[0] is None or ring.blocks != 16 or \
-                    (ring.frame_size, ring.channels) != aud_op[0]:
+                    ring.channels != aud_op[0]:
                 continue
             fa = ring.pop_frames_array(F)
             if fa is None:
@@ -116,12 +119,13 @@ def _worker_main(conn, lane_lo, lane_hi, words_per_lane, mb_w, mb_h):
                 continue
             act[i] = True
             nval[i] = len(fa)
+            fs_max = max(fs_max, fa.shape[1])
             frames.append((i, fa))
-        fs = aud_op[0][0] if aud_op[0] else 64
-        ch = aud_op[0][1] if aud_op[0] else 1
-        arr = np.zeros((n, F, fs), np.uint8)
+        ch = aud_op[0] if aud_op[0] else 1
+        fs_q = -(-fs_max // 32) * 32
+        arr = np.zeros((n, F, fs_q), np.uint8)
         for i, fa in frames:
-            arr[i, :len(fa)] = fa
+            arr[i, :len(fa), :fa.shape[1]] = fa
         rk = (("row_base",) if dev_win else ("words",)) + (
             "start_bits", "rows", "alive", "pic_type", "full_pel",
             "r_size", "lane_of_row")
@@ -272,6 +276,14 @@ class HostPool:
             out["lane_words"] = np.concatenate(
                 [p["lane_words"] for p in parts])
             out["win"] = max(p["win"] for p in parts)
+        # audio frame widths vary per worker (per-lane frame sizes);
+        # zero-pad to the fleet max before concatenating
+        Wa = max(p["aud"].shape[2] for p in parts)
+        for p in parts:
+            a = p["aud"]
+            if a.shape[2] < Wa:
+                p["aud"] = np.pad(
+                    a, ((0, 0), (0, 0), (0, Wa - a.shape[2])))
         for k in ("perm", "intra_q", "non_intra_q", "active", "pts",
                   "pre_errors", "video", "aud", "aud_act", "aud_nval",
                   "starved"):

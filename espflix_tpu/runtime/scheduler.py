@@ -130,7 +130,7 @@ class Fleet:
         # animation/beep host state and the modulator device state
         self.pal = pal
         self.output = None
-        self._aud_op = None       # discovered (frame_size, channels)
+        self._aud_op = None       # discovered channel-count group
         if output:
             from espflix_tpu.runtime.output import OutputStage
             self.output = OutputStage(n_lanes, pal=pal)
@@ -452,6 +452,7 @@ class Fleet:
         pb.begin_tick()
         pre_errors = np.zeros(self.n, bool)
         NFM = NF  # meta field indices
+        from espflix_tpu.runtime.player import READ_CHUNK
         pending = fast
         for _ in range(64):                  # next_picture max_pumps
             if not pending:
@@ -459,28 +460,53 @@ class Fleet:
             feeds = [s.feed for _, s in pending]
             slots = [i for i, _ in pending]
             rc, meta, iq8, nq8 = NF.pop_many_packed(pb, feeds, slots)
-            nxt = []
-            for k, (i, s) in enumerate(pending):
-                r = int(rc[k])
-                if r == 1:
+            # -- vectorized happy path: rc==1, geometry and capacity
+            # ok -> the batch-row writes are numpy fancy-assigns; only
+            # exceptional lanes (policy hits, capacity retries, q-table
+            # refreshes) run per-lane Python
+            slots_a = np.asarray(slots, np.int32)
+            got = rc == 1
+            if got.any():
+                assert (meta[got, NFM.M_WIDTH] > 0).all(), \
+                    "picture before sequence header"
+                okg = ((meta[:, NFM.M_WIDTH] == self.width)
+                       & (meta[:, NFM.M_HEIGHT] == self.height))
+                okc = (((meta[:, NFM.M_PAYLOAD_LEN] + 3) // 4 + 4
+                        <= self.words_per_lane)
+                       & (meta[:, NFM.M_NSLICES] <= self.mb_h))
+                good = got & okg & okc
+                nlanes = np.fromiter((f._lane for f in feeds),
+                                     np.int64, len(feeds))
+                keys = (nlanes << 44) | meta[:, NFM.M_SEQ_COUNTER]
+                for k in np.flatnonzero(good
+                                        & (pb.qkey[slots_a] != keys)):
                     m = meta[k]
-                    w, h = int(m[NFM.M_WIDTH]), int(m[NFM.M_HEIGHT])
-                    assert w > 0, "picture before sequence header"
-                    if not self._packed_policies(
-                            i, s, w, h,
-                            (int(m[NFM.M_PAYLOAD_LEN]) + 3) // 4,
-                            int(m[NFM.M_NSLICES]), pre_errors):
-                        continue
-                    pb.set_queues(i, s.feed, bool(m[NFM.M_HAS_IQ]),
+                    pb.set_queues(slots[k], feeds[k],
+                                  bool(m[NFM.M_HAS_IQ]),
                                   bool(m[NFM.M_HAS_NQ]), iq8[k],
-                                  nq8[k], int(m[NFM.M_SEQ_COUNTER]))
-                    pb.pic_type[i] = int(m[NFM.M_PTYPE])
-                    pb.full_pel[i] = int(m[NFM.M_FULL_PEL])
-                    pb.r_size[i] = max(int(m[NFM.M_R_SIZE]), 0)
-                    pb.n_slices[i] = int(m[NFM.M_NSLICES])
-                    pb.active[i] = True
-                    pb.pts[i] = int(m[NFM.M_PTS])
-                elif r < 0:
+                                  nq8[k], int(m[NFM.M_SEQ_COUNTER]),
+                                  qkey=int(keys[k]))
+                si = slots_a[good]
+                pb.pic_type[si] = meta[good, NFM.M_PTYPE]
+                pb.full_pel[si] = meta[good, NFM.M_FULL_PEL]
+                pb.r_size[si] = np.maximum(meta[good, NFM.M_R_SIZE], 0)
+                pb.n_slices[si] = meta[good, NFM.M_NSLICES]
+                pb.active[si] = True
+                pb.pts[si] = meta[good, NFM.M_PTS]
+                for k in np.flatnonzero(got & ~(okg & okc)):
+                    # consumed but rejected: policy events + park/resync
+                    m = meta[k]
+                    self._packed_policies(
+                        slots[k], pending[k][1], int(m[NFM.M_WIDTH]),
+                        int(m[NFM.M_HEIGHT]),
+                        (int(m[NFM.M_PAYLOAD_LEN]) + 3) // 4,
+                        int(m[NFM.M_NSLICES]), pre_errors)
+            nxt = []
+            pump_io: list[tuple[int, object]] = []
+            for k in np.flatnonzero(~got):
+                i, s = pending[k]
+                r = int(rc[k])
+                if r < 0:
                     # capacity: the picture was NOT consumed; pop it
                     # through the growable scratch path and apply the
                     # same containment policies
@@ -490,9 +516,32 @@ class Fleet:
                             (len(p.payload) + 3) // 4,
                             len(p.slice_offsets), pre_errors):
                         pb.merge_picture(i, p)
-                elif s.pump():
-                    nxt.append((i, s))
                 else:
+                    pump_io.append((i, s))
+            # one streamer read per starved lane, ONE native feed call
+            # for the round (sf_feed_many); pump() stays the per-lane
+            # override point -- patched sessions pump classically
+            bat_f, bat_d = [], []
+            for i, s in pump_io:
+                if ("pump" in s.__dict__
+                        or type(s).pump is not PlayerSession.pump):
+                    if s.pump():
+                        nxt.append((i, s))
+                        continue
+                    pumped = False
+                elif s.eos:
+                    pumped = False
+                else:
+                    data = s.streamer.read(READ_CHUNK)
+                    if data:
+                        bat_f.append(s.feed)
+                        bat_d.append(data)
+                        nxt.append((i, s))
+                        continue
+                    s.feed.eos()
+                    s.eos = True
+                    pumped = False
+                if not pumped:
                     p = s.feed.pop_picture()
                     if p is None:
                         s.state = St.DONE
@@ -502,6 +551,7 @@ class Fleet:
                             (len(p.payload) + 3) // 4,
                             len(p.slice_offsets), pre_errors):
                         pb.merge_picture(i, p)
+            NF.feed_many(bat_f, bat_d)
             pending = nxt
         for i, s in slow:
             p = s.next_picture()
@@ -1027,15 +1077,30 @@ class Fleet:
 
     def _gather_audio_arrays(self, F: int):
         """One tick of SBC frames as fixed-shape device inputs for the
-        chain.  Locks onto the fleet's first discovered operating point
-        (frame_size, channels); lanes at another op point stay silent
-        in the chain (the per-tick path still serves them)."""
+        chain.  Lanes group by CHANNEL COUNT only (first discovered
+        16-block lane sets the group): frame SIZE varies freely per
+        lane -- SBC frames are self-describing (bitpool / allocation
+        parse from each frame's header, models/sbc.py
+        decode_frames_batched), so lanes at different bitrates batch
+        together, padded to the tick's max frame size (quantized to 32
+        bytes so jit variants stay bounded).  A lane whose channel or
+        block count differs from the group is OBSERVABLY silent in the
+        chain: Ev.AUDIO_OP_POINT fires (the reference decodes whatever
+        arrives because it runs one stream, video.cpp:964-987; a
+        mixed-channel fleet routes such lanes to a matching fleet like
+        geometry mismatches, runtime/router.py)."""
         from espflix_tpu.runtime.player import State
+        from espflix_tpu.streaming.native_feed import (NativeAudioRing,
+                                                       pop_audio_many)
         n = self.n
         starved = np.zeros(n, bool)
         act = np.zeros(n, bool)
         nval = np.zeros(n, np.int32)
         frames_list: list[tuple[int, list]] = []
+        fast_rings: list = []
+        fast_slots: list[int] = []
+        fast_pool = None
+        fs_max = 16
         for i, s in enumerate(self.sessions):
             if s is None:
                 continue
@@ -1043,10 +1108,21 @@ class Fleet:
             if not (ring.discover(self._probe) and ring.frame_size):
                 continue
             if self._aud_op is None and ring.blocks == 16:
-                self._aud_op = (ring.frame_size, ring.channels)
-            if self._aud_op is None or \
-                    (ring.frame_size, ring.channels) != self._aud_op \
-                    or ring.blocks != 16:
+                self._aud_op = ring.channels
+            if self._aud_op is None or ring.blocks != 16 \
+                    or ring.channels != self._aud_op:
+                self.events.log(Ev.AUDIO_OP_POINT, i,
+                                value=(ring.channels << 8)
+                                | ring.blocks)
+                continue
+            if isinstance(ring, NativeAudioRing) and \
+                    (fast_pool is None or ring._p is fast_pool):
+                # fused path: this ring drains in the one
+                # sf_audio_pop_batch call below
+                fast_pool = ring._p
+                fast_rings.append(ring)
+                fast_slots.append(i)
+                fs_max = max(fs_max, ring.frame_size)
                 continue
             fa = ring.pop_frames_array(F)
             if fa is None:
@@ -1057,13 +1133,36 @@ class Fleet:
                 continue
             act[i] = True
             nval[i] = len(fa)
+            fs_max = max(fs_max, fa.shape[1])
             frames_list.append((i, fa))
-        fs = self._aud_op[0] if self._aud_op else 64
-        ch = self._aud_op[1] if self._aud_op else 1
-        arr = np.zeros((n, F, fs), np.uint8)
+        ch = self._aud_op if self._aud_op else 1
+        # native lanes contribute their DISCOVERED frame size to the
+        # width (vs the popped sizes): a lane that pops nothing this
+        # tick can widen fs_q by one 32B step -- semantics-neutral,
+        # zero padding past each self-describing frame is never read
+        fs_q = -(-fs_max // 32) * 32
+        # word-padded rows (fs_q % 4 == 0, +4 trailing zero bytes) so
+        # the frames_to_words conversion is a dtype view + in-place
+        # byteswap -- no second pass over the arena
+        arr = np.zeros((n, F, fs_q + 4), np.uint8)
+        if fast_rings:
+            counts = pop_audio_many(fast_rings, fast_slots, F, arr)
+            slots = np.asarray(fast_slots)
+            got = counts > 0
+            act[slots[got]] = True
+            nval[slots[got]] = counts[got]
+            for k in np.flatnonzero(~got):
+                i = fast_slots[k]
+                s = self.sessions[i]
+                if s.state in (State.PLAYING, State.FAST_FORWARD,
+                               State.REWIND) and not s.eos:
+                    starved[i] = True
+                    self.events.log(Ev.AUDIO_STARVED, i)
         for i, fa in frames_list:
-            arr[i, :len(fa)] = fa
-        return dsbc.frames_to_words(arr), act, nval, starved, ch
+            arr[i, :len(fa), :fa.shape[1]] = fa
+        words = arr.view(np.uint32)
+        words.byteswap(inplace=True)
+        return words, act, nval, starved, ch
 
     def run_chunk_full(self, n_ticks: int, tap_lanes=(),
                        steps_long: int = 1024, steps_short: int = 384
@@ -1073,18 +1172,23 @@ class Fleet:
         progress/slide/beep/starved state) + SBC + delta-sigma PDM
         (runtime/chain.py -- the same jitted path bench.py measures).
 
-        Requires parser='pallas', no mesh, and output=True.  Presented
+        Requires parser='pallas' and output=True.  Under a 'streams'
+        mesh the same fused chain runs shard_map'ed (per-shard packed
+        rows, zero data-path ICI except the tap gather,
+        runtime/chain.make_sharded_full_chunk).  Presented
         planes/fields/PDM stay on device (checksums in the TickResult;
         tap_lanes get their full DAC fields + PDM words back).
         Control-plane effects apply at chunk boundaries like
         run_chunk."""
         assert self.output is not None, "Fleet(output=True) required"
-        assert self.parser == "pallas" and self.mesh is None, \
-            "full chain runs on the single-chip Pallas parser"
+        assert self.parser == "pallas", \
+            "full chain runs on the Pallas parser"
         from espflix_tpu.ops import scan_dense as SD
         from espflix_tpu.ops import vlc_scan_pallas as VP
         from espflix_tpu.runtime import chain as CH
 
+        n_sh = self.mesh.shape["streams"] if self.mesh is not None \
+            else 0
         F = self.audio_F
         gathered = []
         xs_t = []
@@ -1105,15 +1209,29 @@ class Fleet:
             # the long symbol bucket must absorb every I picture's rows
             # (the host knows the picture types; span sorting puts them
             # first) -- an aligned-phase tick can be ALL I lanes
-            n_i = int(((np.asarray(b["pic_type"]) == 1)
-                       & b["active"]).sum())
-            need_long = max(need_long, n_i * self.mb_h)
-            with self.timers.measure("batch_assemble"):
-                sl = VP.pack_slice_rows(b, sort_rows=True,
-                                        device_windows=self._dev_win)
-                perm, dup = SD.row_perm(
-                    sl["lane_of_row"], sl["rows"], sl["alive"],
-                    self.n, self.mb_h)
+            is_i = ((np.asarray(b["pic_type"]) == 1)
+                    & np.asarray(b["active"]))
+            if n_sh:
+                # per-shard packing + per-shard bucket sizing (the
+                # budgets are static and uniform: worst shard wins)
+                need_long = max(need_long, int(
+                    is_i.reshape(n_sh, -1).sum(axis=1).max())
+                    * self.mb_h)
+                with self.timers.measure("batch_assemble"):
+                    sl, dup = SD.pack_slice_rows_sharded(
+                        b, n_sh, self.mb_h,
+                        device_windows=self._dev_win)
+                    perm = sl["perm"]
+                    dup = dup | sl["overflow"]
+            else:
+                need_long = max(need_long, int(is_i.sum()) * self.mb_h)
+                with self.timers.measure("batch_assemble"):
+                    sl = VP.pack_slice_rows(
+                        b, sort_rows=True,
+                        device_windows=self._dev_win)
+                    perm, dup = SD.row_perm(
+                        sl["lane_of_row"], sl["rows"], sl["alive"],
+                        self.n, self.mb_h)
             dup_any |= dup
             aud_words, aact, anval, starved, ch = \
                 self._gather_audio_arrays(F)
@@ -1159,6 +1277,14 @@ class Fleet:
                 if w.shape[1] < Wp:
                     x["words"] = np.pad(
                         w, ((0, 0), (0, Wp - w.shape[1])))
+        # audio word width varies with the tick's largest SBC frame
+        # (frame sizes are per-lane free); zero-pad to the chunk max
+        Wa = max(x["aud_words"].shape[2] for x in xs_t)
+        for x in xs_t:
+            w = x["aud_words"]
+            if w.shape[2] < Wa:
+                x["aud_words"] = np.pad(
+                    w, ((0, 0), (0, 0), (0, Wa - w.shape[2])))
         xs = {k: jnp.asarray(np.stack([x[k] for x in xs_t]))
               for k in xs_t[0]}
         self.events.log(Ev.DECODE_BATCH, value=sum(
@@ -1177,19 +1303,46 @@ class Fleet:
             np.asarray(list(tap_lanes) or [0], np.int32))
 
         long_rows, steps_long, steps_short = bucket_policy(
-            need_long, self.n * self.mb_h, steps_long=steps_long,
-            steps_short=steps_short)
+            need_long, (self.n // max(n_sh, 1)) * self.mb_h,
+            steps_long=steps_long, steps_short=steps_short)
         with self.timers.measure("device_decode"):
-            (self.frames, self.sbc_state, self.output.pdm_state,
-             outs) = CH.run_full_chunk(
-                xs, self.frames, self.sbc_state,
-                self.output.pdm_state, tap_idx, slide,
-                mb_width=self.mb_w, mb_height=self.mb_h,
-                n_lanes=self.n, long_rows=long_rows,
-                steps_long=steps_long, steps_short=steps_short,
-                n_aud_frames=F, channels=ch, pal=self.pal,
-                scrolled=scrolled, tap=tap,
-                interpret=self._pallas_interpret, win=win)
+            if n_sh:
+                from espflix_tpu.parallel import mesh as pmesh
+                if not getattr(self, "_chain_sharded_state", False):
+                    # one-time: lane-major carries onto the mesh
+                    self.frames = pmesh.shard_lane_tree(
+                        self.mesh, self.frames)
+                    self.sbc_state = pmesh.shard_lane_tree(
+                        self.mesh, self.sbc_state)
+                    self.output.pdm_state = pmesh.shard_lane_tree(
+                        self.mesh, self.output.pdm_state)
+                    self._chain_sharded_state = True
+                xs = pmesh.shard_axis1_tree(self.mesh, xs)
+                if scrolled:
+                    slide = pmesh.shard_lane_tree(self.mesh, slide)
+                fn = CH.make_sharded_full_chunk(
+                    self.mesh, mb_width=self.mb_w,
+                    mb_height=self.mb_h, n_lanes=self.n,
+                    long_rows=long_rows, steps_long=steps_long,
+                    steps_short=steps_short, n_aud_frames=F,
+                    channels=ch, pal=self.pal, scrolled=scrolled,
+                    tap=tap, interpret=self._pallas_interpret,
+                    return_planes=True, win=win,
+                    xs_keys=tuple(xs.keys()))
+                (self.frames, self.sbc_state, self.output.pdm_state,
+                 outs) = fn(xs, self.frames, self.sbc_state,
+                            self.output.pdm_state, tap_idx, slide)
+            else:
+                (self.frames, self.sbc_state, self.output.pdm_state,
+                 outs) = CH.run_full_chunk(
+                    xs, self.frames, self.sbc_state,
+                    self.output.pdm_state, tap_idx, slide,
+                    mb_width=self.mb_w, mb_height=self.mb_h,
+                    n_lanes=self.n, long_rows=long_rows,
+                    steps_long=steps_long, steps_short=steps_short,
+                    n_aud_frames=F, channels=ch, pal=self.pal,
+                    scrolled=scrolled, tap=tap,
+                    interpret=self._pallas_interpret, win=win)
 
         with self.timers.measure("host_sync"):
             errs = np.asarray(outs["err"]) | dup_any[None, :]
@@ -1329,6 +1482,12 @@ class Fleet:
                         "aud_nval", "starved")
         if dev_win:
             okeys = okeys + ("lane_words",)
+        Wa = max(x["aud_words"].shape[2] for x in xs_t)
+        for x in xs_t:
+            w = x["aud_words"]
+            if w.shape[2] < Wa:
+                x["aud_words"] = np.pad(
+                    w, ((0, 0), (0, 0), (0, Wa - w.shape[2])))
         xs = {k: jnp.asarray(np.stack([x[k] for x in xs_t]))
               for k in okeys}
 
@@ -1344,7 +1503,7 @@ class Fleet:
         tap_idx = jnp.asarray(
             np.asarray(list(tap_lanes) or [0], np.int32))
         ops = [g["aud_op"] for g in meta if g["aud_op"]]
-        ch = ops[0][1] if ops else 1
+        ch = ops[0] if ops else 1
 
         with self.timers.measure("device_decode"):
             (self.frames, self.sbc_state, self.output.pdm_state,

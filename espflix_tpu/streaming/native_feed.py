@@ -78,6 +78,10 @@ def lib():
         L.sf_audio_pop.argtypes = [c.c_void_p, c.c_int, c.c_int,
                                    c.c_int, c.c_void_p]
         L.sf_audio_clear.argtypes = [c.c_void_p, c.c_int]
+        L.sf_audio_pop_batch.restype = None
+        L.sf_audio_pop_batch.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_int, c.c_void_p, c.c_void_p,
+            c.c_int, c.c_int, c.c_void_p, c.c_void_p]
         L.sf_audio_poke.argtypes = [c.c_void_p, c.c_int, c.c_long,
                                     c.c_int]
         L.sf_sync_lost.restype = c.c_int
@@ -297,6 +301,46 @@ def pop_many(feeds):
     return out
 
 
+def feed_many(feeds, datas):
+    """Batched feed: ONE sf_feed_many call pushes each feed's chunk
+    (the pump's streamer.read result) into its native lane.  All
+    feeds share one pool; empty chunks must be filtered by the caller
+    (EOS is a per-lane state change, not a feed)."""
+    n = len(feeds)
+    if n == 0:
+        return
+    pool = feeds[0]._pool
+    lanes = np.fromiter((f._lane for f in feeds), np.int32, n)
+    offs = np.zeros(n + 1, np.int64)
+    for k, d in enumerate(datas):
+        offs[k + 1] = offs[k] + len(d)
+    buf = b"".join(datas)
+    pool.L.sf_feed_many(pool.handle, lanes.ctypes.data, n, buf,
+                        offs.ctypes.data)
+
+
+def pop_audio_many(rings, slots, max_frames, out):
+    """Batched SBC ring drain: ONE sf_audio_pop_batch call pops up to
+    max_frames whole frames per ring straight into the tick's arena
+    rows out[slots[i]] (a zeroed [n_lanes, max_frames, stride] uint8;
+    each ring's frames land at byte stride out.shape[2]).  All rings
+    must share one FeedPool.  Returns counts int32[len(rings)]."""
+    n = len(rings)
+    if n == 0:
+        return np.zeros(0, np.int32)
+    pool = rings[0]._p
+    lanes = np.fromiter((r._lane for r in rings), np.int32, n)
+    fss = np.fromiter((r.frame_size for r in rings), np.int32, n)
+    rows = np.asarray(slots, np.int32)
+    counts = np.zeros(n, np.int32)
+    assert out.flags.c_contiguous and out.dtype == np.uint8
+    pool.L.sf_audio_pop_batch(
+        pool.handle, lanes.ctypes.data, n, fss.ctypes.data,
+        rows.ctypes.data, max_frames, out.shape[2],
+        out.ctypes.data, counts.ctypes.data)
+    return counts
+
+
 class PackedBatch:
     """Persistent device-batch-layout buffers one Fleet owns.
 
@@ -335,6 +379,11 @@ class PackedBatch:
         # source object (feed or SequenceInfo) is held so identity
         # can't be recycled while the key is live
         self.seq_src: list = [None] * n
+        # vectorized twin of seq_src for the numpy happy path:
+        # (native_lane << 44) | seq_counter -- collision-free because
+        # seq_counter is monotonic per native lane across resets
+        # (session_feed.cpp Lane::reset), or -1 = always stale
+        self.qkey = np.full(n, -1, np.int64)
         self._slots = np.zeros(n, np.int32)
 
     def begin_tick(self):
@@ -367,10 +416,11 @@ class PackedBatch:
             mb_width=self.mb_width, mb_height=self.mb_height)
 
     def set_queues(self, slot: int, src, has_iq: bool, has_nq: bool,
-                   iq8, nq8, counter: int):
+                   iq8, nq8, counter: int, qkey: int = -1):
         """Refresh the q-table rows when (src, counter) changed."""
         key = (src, counter)
         cur = self.seq_src[slot]
+        self.qkey[slot] = qkey
         if cur is not None and cur[0] is src and cur[1] == counter:
             return
         self.seq_src[slot] = key

@@ -106,6 +106,20 @@ def build_inputs(n: int, mbw: int = 22, mbh: int = 12, seed: int = 11):
     d["ds_state"] = jnp.zeros((n, 3), jnp.int32)
     d["F"] = F
     d["geom"] = (mbw, mbh)
+    # emission logs at the bench's bucket shapes (densify cost is
+    # shape-dependent only -- the one-hot matmuls are dense regardless
+    # of values): long bucket 2N rows x 1024 steps, short the rest x
+    # 384.  Indices span the real flat-index space incl. trash.
+    mbc = mbw * mbh
+    TRASH = mbc + mbc * 6 + mbc * 384
+    for nm, R, T in (("long", 2 * n, 1024),
+                     ("short", n * mbh - 2 * n, 384)):
+        d[f"li_{nm}"] = jnp.asarray(rng.integers(
+            0, TRASH + 8, (T, R)).astype(np.int32))
+        d[f"lv_{nm}"] = jnp.asarray(rng.integers(
+            -2048, 2048, (T, R)).astype(np.int32))
+        d[f"rb_{nm}"] = jnp.asarray(
+            (rng.integers(0, mbh, R) * mbw).astype(np.int32))
     return d
 
 
@@ -198,6 +212,33 @@ def make_stages(d, interp: bool):
                                   dd["mv_v"], 16, interpret=interp)
         return isum(py)
 
+    def mocomp_packed(dd, salt):
+        from espflix_tpu.ops.mocomp_pallas import (
+            predict_chroma_pair_packed, predict_plane_packed)
+        py = predict_plane_packed(dd["ref_y"] ^ s8(salt), dd["mv_h"],
+                                  dd["mv_v"], 16, interpret=interp)
+        pu, pv = predict_chroma_pair_packed(
+            dd["ref_u"] ^ s8(salt), dd["ref_v"], dd["mv_h"] >> 1,
+            dd["mv_v"] >> 1, interpret=interp)
+        return isum(py) + isum(pu) + isum(pv)
+
+    def mocomp_hybrid(dd, salt):
+        # the measured-best split: phase-stack luma + packed chroma
+        from espflix_tpu.ops.mocomp_pallas import (
+            predict_chroma_pair_packed, predict_plane_phase)
+        py = predict_plane_phase(dd["ref_y"] ^ s8(salt), dd["mv_h"],
+                                 dd["mv_v"], 16, interpret=interp)
+        pu, pv = predict_chroma_pair_packed(
+            dd["ref_u"] ^ s8(salt), dd["ref_v"], dd["mv_h"] >> 1,
+            dd["mv_v"] >> 1, interpret=interp)
+        return isum(py) + isum(pu) + isum(pv)
+
+    def mocomp_packed_luma(dd, salt):
+        from espflix_tpu.ops.mocomp_pallas import predict_plane_packed
+        py = predict_plane_packed(dd["ref_y"] ^ s8(salt), dd["mv_h"],
+                                  dd["mv_v"], 16, interpret=interp)
+        return isum(py)
+
     # -- the compose stage, split three ways ---------------------------
     def _compose_one(cur, pred, resid, kind_mb, reps):
         # twin of models/mpeg1.dense_compose compose() (kept in sync)
@@ -281,6 +322,18 @@ def make_stages(d, interp: bool):
             w, dd["sbc_hist"] + (salt & 1), n_frames=F)
         return isum(pcm)
 
+    def densify(dd, salt):
+        # both buckets' log->dense-window matmuls, bench shapes
+        from espflix_tpu.ops import scan_dense as SD
+        acc = jnp.int32(0)
+        for nm in ("long", "short"):
+            c, a, drop = SD.log_to_dense_rows(
+                dd[f"li_{nm}"] ^ (salt & 7), dd[f"lv_{nm}"] ^ salt,
+                dd[f"rb_{nm}"], mb_width=mbw, mb_count=mbw * mbh,
+                transposed=True)
+            acc = acc + isum(c) + isum(a) + drop.sum().astype(jnp.int32)
+        return acc
+
     def pdm(dd, salt):
         pcm = dd["pcm"] ^ s16(salt)
         out, st = DS.modulate(pcm, dd["ds_state"],
@@ -297,6 +350,10 @@ def make_stages(d, interp: bool):
                 assemble=assemble, mocomp=mocomp,
                 mocomp_phase=mocomp_phase,
                 mocomp_phase_luma=mocomp_phase_luma,
+                mocomp_packed=mocomp_packed,
+                mocomp_packed_luma=mocomp_packed_luma,
+                mocomp_hybrid=mocomp_hybrid,
+                densify=densify,
                 mocomp_luma=mocomp_luma,
                 compose_select=compose_select, parity_put=parity_put,
                 presented_where=presented_where,

@@ -535,6 +535,38 @@ int sf_audio_pop(void* h, int lane, int frame_size, int max_frames,
   return (int)k;
 }
 
+// Batched audio pop: one call pops up to max_frames whole frames per
+// lane straight into the tick's [n, max_frames, stride] arena
+// (frame_sizes[i] <= stride; rows land at byte stride `stride`, the
+// tail of each row is left as the caller allocated it -- callers pass
+// a zeroed arena).  counts[i] = frames popped.  This is the fused-
+// chain audio gather (the reference's audio thread drains its one
+// SBC ring continuously, video.cpp:964-987; a fleet drains N rings
+// in one call).
+void sf_audio_pop_batch(void* h, const int32_t* lanes, int n,
+                        const int32_t* frame_sizes,
+                        const int32_t* out_rows, int max_frames,
+                        int stride, uint8_t* out, int32_t* counts) {
+  Feed* F = (Feed*)h;
+  for (int i = 0; i < n; i++) {
+    Lane& L = F->lanes[lanes[i]];
+    const int fs = frame_sizes[i];
+    int32_t k = 0;
+    if (fs > 0 && fs <= stride) {
+      long kk = (long)L.abuf.size() / fs;
+      if (kk > max_frames) kk = max_frames;
+      k = (int32_t)kk;
+      uint8_t* dst = out + (size_t)out_rows[i] * max_frames * stride;
+      const uint8_t* src = L.abuf.data();
+      for (int32_t j = 0; j < k; j++)
+        memcpy(dst + (size_t)j * stride, src + (size_t)j * fs, fs);
+      if (k > 0)
+        L.abuf.erase(L.abuf.begin(), L.abuf.begin() + (long)k * fs);
+    }
+    counts[i] = k;
+  }
+}
+
 // drop all buffered audio bytes (fault-injection / flush paths)
 void sf_audio_clear(void* h, int lane) {
   ((Feed*)h)->lanes[lane].abuf.clear();

@@ -97,3 +97,69 @@ def test_run_chunk_full_beep_overrides_pcm(service):
                               np.asarray(r2.tap_pdm[0]))
     # beep consumed within the tick (5 frames < audio_F)
     assert f2.output.beep_frames[0] == 0
+
+
+def test_run_chunk_full_two_frame_sizes(tmp_path):
+    """Two titles at DIFFERENT SBC bitrates (bitpool 28 vs 60 =>
+    different frame sizes) both play audio through the fused chain in
+    one chunk: frame-size diversity batches (SBC headers are
+    self-describing, models/sbc.py), matching the reference's
+    decode-whatever-arrives audio thread (video.cpp:964-987)."""
+    rng = np.random.default_rng(7)
+    svcs = []
+    for k, bp in enumerate((28, 60)):
+        d = str(tmp_path / f"svc{bp}")
+        audio = [(random_frame(rng, mode=0, bitpool=bp), j * 240)
+                 for j in range(200)]
+        make_service(d, ["one"], seed=5, n_gops=3, gop=4,
+                     audio_frames=audio)
+        svcs.append(d)
+    fleet = Fleet(2, words_per_lane=8192, parser="pallas",
+                  output=True)
+    for i, d in enumerate(svcs):
+        s = PlayerSession("file://" + d)
+        assert s.init_service()
+        s.nav(0)
+        s.play_pause()
+        fleet.attach(i, s)
+    results = fleet.run_chunk_full(3, tap_lanes=(0, 1))
+    live = np.zeros(2, bool)
+    for r in results:
+        for i in range(2):
+            if r.audio_lanes[i]:
+                live[i] = True
+                assert not (np.asarray(r.tap_pdm[i]) ==
+                            DS.SILENCE_WORD).all()
+    assert live.all(), "both frame-size groups must play"
+    from espflix_tpu.runtime.events import Ev
+    assert not [e for e in fleet.events.ring
+                if e.ev == Ev.AUDIO_OP_POINT]
+
+
+def test_run_chunk_full_op_point_event(tmp_path, service):
+    """A lane whose SBC stream is STEREO in a mono-grouped fleet is
+    observably silent: Ev.AUDIO_OP_POINT fires with channels<<8|blocks
+    (the contract for channel/block diversity; frame-size diversity
+    plays, see above)."""
+    rng = np.random.default_rng(9)
+    d = str(tmp_path / "stereo")
+    audio = [(random_frame(rng, mode=1, bitpool=40), j * 240)
+             for j in range(200)]
+    make_service(d, ["one"], seed=5, n_gops=3, gop=4,
+                 audio_frames=audio)
+    fleet = Fleet(2, words_per_lane=8192, parser="pallas",
+                  output=True)
+    for i, root in enumerate((service, d)):
+        s = PlayerSession("file://" + root)
+        assert s.init_service()
+        s.nav(0)
+        s.play_pause()
+        fleet.attach(i, s)
+    results = fleet.run_chunk_full(3, tap_lanes=(1,))
+    from espflix_tpu.runtime.events import Ev
+    evs = [e for e in fleet.events.ring if e.ev == Ev.AUDIO_OP_POINT]
+    assert evs and all(e.lane == 1 for e in evs)
+    assert evs[0].value == (2 << 8) | 16
+    for r in results:
+        assert not r.audio_lanes[1]
+        assert (np.asarray(r.tap_pdm[0]) == DS.SILENCE_WORD).all()

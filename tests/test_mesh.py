@@ -190,3 +190,63 @@ def test_sharded_pallas_decoder_matches_xla():
                                   np.asarray(pres_r[k])), k
         shard_devs = {s.device for s in pres_s["y"].addressable_shards}
         assert len(shard_devs) == 8
+
+
+def test_full_chain_under_mesh_matches_single():
+    """Fleet.run_chunk_full under the 'streams' mesh: the COMPLETE
+    fused chain (decode + composite field pair + SBC + PDM, one
+    dispatch per chunk) shard_map'ed over 8 virtual devices, with
+    per-lane checksums and the masked-psum tap gather identical to the
+    single-device fleet on the same service (the reference's loop is
+    one system regardless of scale, espflix.cpp:886-1010)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from espflix_tpu.runtime.player import PlayerSession
+    from espflix_tpu.runtime.scheduler import Fleet
+    from espflix_tpu.tools.indexer import make_service
+    from espflix_tpu.tools.sbc_encode import random_frame
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as svc:
+        arng = np.random.default_rng(5)
+        audio = [(random_frame(arng, mode=0, bitpool=28), k * 240)
+                 for k in range(200)]
+        # the composite synthesizer is geometry-pinned to 352x192, so
+        # the fused chain can only run at the production geometry;
+        # keep lanes/ticks minimal (interpret mode is CPU-cost-linear
+        # in lane-ticks)
+        make_service(svc, ["one"], seed=5, n_gops=2, gop=3,
+                     audio_frames=audio)
+
+        def build(mesh):
+            n = 8
+            fleet = Fleet(n, words_per_lane=8192, parser="pallas",
+                          output=True, mesh=mesh)
+            for i in range(n):
+                s = PlayerSession("file://" + svc)
+                assert s.init_service()
+                s.nav(0)
+                s.play_pause()
+                fleet.attach(i, s)
+            return fleet
+
+        ref = build(None)
+        r_ref = ref.run_chunk_full(2, tap_lanes=(1,))
+        mesh = PM.make_mesh()
+        f = build(mesh)
+        r_mesh = f.run_chunk_full(2, tap_lanes=(1,))
+
+        for a, b in zip(r_ref, r_mesh):
+            assert np.array_equal(a.field_sum, b.field_sum)
+            assert np.array_equal(a.pdm_sum, b.pdm_sum)
+            assert np.array_equal(a.errors, b.errors)
+            assert np.array_equal(np.asarray(a.tap_fields),
+                                  np.asarray(b.tap_fields))
+            assert np.array_equal(np.asarray(a.tap_pdm),
+                                  np.asarray(b.tap_pdm))
+            for k in ("y", "u", "v"):
+                assert np.array_equal(np.asarray(getattr(a, k)),
+                                      np.asarray(getattr(b, k)))
+        # the carries really live on all 8 devices
+        devs = {s.device for s in f.frames["y"].addressable_shards}
+        assert len(devs) == 8

@@ -235,9 +235,12 @@ def test_phase_stacked_mocomp_matches_reference():
         MC.predict_plane(rv, jnp.asarray(mh), jnp.asarray(mv), S)))
 
 
-def test_dense_compose_phase_variant_bit_exact():
-    """dense_compose with use_pallas_mocomp='phase' equals the XLA
-    path on a real decoded batch."""
+@pytest.mark.parametrize("variant", ["phase", "hybrid", "packed"])
+def test_dense_compose_phase_variant_bit_exact(variant):
+    """dense_compose with the Pallas mocomp variants ('phase' stack,
+    the measured-default 'hybrid' phase-luma+packed-chroma split, and
+    the all-'packed' SWAR form) equals the XLA path on a real decoded
+    batch."""
     import jax.numpy as jnp
 
     from espflix_tpu.models import mpeg1 as M
@@ -269,7 +272,57 @@ def test_dense_compose_phase_variant_bit_exact():
                                    use_pallas_mocomp=False)
         fr_b, pb = M.dense_compose(*args, fr_b, mb_width=mbw,
                                    mb_height=mbh,
-                                   use_pallas_mocomp="phase")
+                                   use_pallas_mocomp=variant)
         for k in ("y", "u", "v"):
             assert np.array_equal(np.asarray(pa[k]),
                                   np.asarray(pb[k])), k
+
+
+def test_packed_swar_mocomp_matches_reference():
+    """predict_plane_packed + predict_chroma_pair_packed (packed SWAR
+    phase stack: 4 px/uint32 word, 8 pre-shifted sublane copies, byte
+    funnel per visit) must be bit-identical to predict_plane for
+    in-bounds MVs, all four half-pel phases, both plane sizes."""
+    import jax.numpy as jnp
+
+    from espflix_tpu.ops import mocomp as MC
+    from espflix_tpu.ops.mocomp_pallas import (
+        predict_chroma_pair_packed, predict_plane_packed)
+
+    rng = np.random.default_rng(8)
+    geoms = ((2, 64, 128, 16), (2, 32, 64, 8))
+    if not INTERP:
+        geoms += ((2, 192, 352, 16),)
+    for (N, H, W, S) in geoms:
+        mbh, mbw = H // S, W // S
+        ref = jnp.asarray(rng.integers(0, 256, (N, H, W),
+                                       dtype=np.uint8))
+        bx = np.arange(mbw)[None, None, :] * S
+        by = np.arange(mbh)[None, :, None] * S
+        mh = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                     -2 * bx, 2 * (W - S - bx) - 1).astype(np.int32)
+        mv = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                     -2 * by, 2 * (H - S - by) - 1).astype(np.int32)
+        want = np.asarray(MC.predict_plane(
+            ref, jnp.asarray(mh), jnp.asarray(mv), S))
+        got = np.asarray(predict_plane_packed(
+            ref, jnp.asarray(mh), jnp.asarray(mv), S, interpret=INTERP))
+        assert np.array_equal(got, want), ("packed", N, H, W, S)
+
+    # dual chroma pack at the production geometry (96x176, S=8)
+    N, H, W, S = 1, 96, 176, 8
+    mbh, mbw = 12, 22
+    ru = jnp.asarray(rng.integers(0, 256, (N, H, W), dtype=np.uint8))
+    rv = jnp.asarray(rng.integers(0, 256, (N, H, W), dtype=np.uint8))
+    bx = np.arange(mbw)[None, None, :] * S
+    by = np.arange(mbh)[None, :, None] * S
+    mh = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                 -2 * bx, 2 * (W - S - bx) - 1).astype(np.int32)
+    mv = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                 -2 * by, 2 * (H - S - by) - 1).astype(np.int32)
+    gu, gv = predict_chroma_pair_packed(
+        ru, rv, jnp.asarray(mh), jnp.asarray(mv), interpret=INTERP)
+    assert np.array_equal(np.asarray(gu), np.asarray(
+        MC.predict_plane(ru, jnp.asarray(mh), jnp.asarray(mv), S)))
+    assert np.array_equal(np.asarray(gv), np.asarray(
+        MC.predict_plane(rv, jnp.asarray(mh), jnp.asarray(mv), S)))
