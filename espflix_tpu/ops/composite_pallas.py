@@ -64,16 +64,21 @@ def _pad2(x, top, left, L, W2):
     return jnp.pad(x, ((top, L - top - h), (left, W2 - left - w)))
 
 
-def _kernel(par_ref, blend_ref, prog_ref, y_ref, ui_ref, vi_ref,
-            osd_ref, tmpl_ref, dith_ref, out_ref, *, pal, g):
+def _kernel_parts(par_ref, blend_ref, prog_ref, y_ref, ui_ref, vi_ref,
+                  osd_ref, tmpl_ref, dith_ref, act_ref, strip_ref, *,
+                  pal, g):
+    """Active/OSD-parts form of _kernel: emits only the per-lane
+    VARIABLE canvas regions -- the active sample pairs of both fields
+    [2, 192, 352] and ONE parity-independent OSD strip [16, W2] (rows
+    g.osd_top..+16; identical in both fields) -- instead of the full
+    [2, L, W2] canvas, ~71% of whose bytes are constant template.
+    assemble_canvas_packed() reconstructs the exact full canvas;
+    field_parts_byte_sum() reproduces packed_byte_sum with host-side
+    template constants."""
     I32 = jnp.int32
     bias = 2 * T.BLACK_LEVEL
     L, W2 = tmpl_ref.shape
 
-    # ---- chroma QAM, shared by both fields (composite._chroma_samples)
-    # ui/vi arrive vertically interpolated AND column-doubled to
-    # [192, 352] (Mosaic cannot lower lane-merging reshapes, so the
-    # cheap repeats run outside; all the arithmetic is in here)
     ui = ui_ref[0].astype(I32)
     vi = vi_ref[0].astype(I32)
 
@@ -96,13 +101,12 @@ def _kernel(par_ref, blend_ref, prog_ref, y_ref, ui_ref, vi_ref,
     cw1 = ((pu_p + bias) & 0xFC) >> 2
     cw2 = ((bias + k2v) & 0xFC) >> 2
     cw3 = ((bias + k3v) & 0xFC) >> 2
-    # per-PIXEL chroma: pixel x (sample pair 2x, 2x+1) uses slots
-    # (3-(x&1), 1-(x&1))
     col_odd = (jax.lax.broadcasted_iota(I32, (192, 352), 1) & 1) == 1
     cxa = jnp.where(col_odd, cw2, cw3)
     cxb = jnp.where(col_odd, cw0, cw1)
 
-    # ---- OSD overlay values (shared by both fields) ------------------
+    # ---- OSD strip (shared by both fields; template shows through
+    # where the overlay is off) --------------------------------------
     blend = blend_ref[0, 0, 0]
     scale = jnp.where((blend != -1) & (blend < 32),
                       (63 * jnp.maximum(blend, 0)) >> 5,
@@ -123,57 +127,78 @@ def _kernel(par_ref, blend_ref, prog_ref, y_ref, ui_ref, vi_ref,
     osd_xp = (x0 + 16) // 2
     bar_xp = (x0 + 16 + 160 + 16) // 2
 
-    rows_i = jax.lax.broadcasted_iota(I32, (L, W2), 0)
-    cols_i = jax.lax.broadcasted_iota(I32, (L, W2), 1)
-    act_m = ((rows_i >= g.active_top) & (rows_i < g.active_top + 192)
-             & (cols_i >= xp) & (cols_i < xp + 352))
-    osd_m = ((rows_i >= g.osd_top) & (rows_i < g.osd_top + 16)
-             & (cols_i >= osd_xp) & (cols_i < osd_xp + 80)) & show
-    bar_m = ((rows_i >= g.osd_top + 3) & (rows_i < g.osd_top + 9)
-             & (cols_i >= bar_xp)
-             & (cols_i < bar_xp + CO.OSD_PROGRESS_W)) & show
-    osd_c = _pad2(text_pair, g.osd_top, osd_xp, L, W2)
-    bar_c = _pad2(bar_pair, g.osd_top + 3, bar_xp, L, W2)
-    tmpl32 = tmpl_ref[...].astype(I32) & 0xFFFF
+    rows_s = jax.lax.broadcasted_iota(I32, (16, W2), 0)
+    cols_s = jax.lax.broadcasted_iota(I32, (16, W2), 1)
+    osd_m = ((cols_s >= osd_xp) & (cols_s < osd_xp + 80)) & show
+    bar_m = ((rows_s >= 3) & (rows_s < 9) & (cols_s >= bar_xp)
+             & (cols_s < bar_xp + CO.OSD_PROGRESS_W)) & show
+    osd_c = _pad2(text_pair, 0, osd_xp, 16, W2)
+    bar_c = _pad2(bar_pair, 3, bar_xp, 16, W2)
+    tmpl_s = tmpl_ref[g.osd_top:g.osd_top + 16, :].astype(I32) & 0xFFFF
+    strip = jnp.where(osd_m, osd_c, tmpl_s)
+    strip = jnp.where(bar_m, bar_c, strip)
+    strip_ref[0] = strip.astype(jnp.int16)
 
+    # ---- both fields' luma in ONE pass: the two fields of a frame
+    # pair differ only by the temporal dither plane (video.cpp:
+    # 673-683, 1136-1156), so field 0 rides the low 16 bits and field
+    # 1 the high 16 bits of each int32 lane.  Every value is <= 255,
+    # so 16-bit sub-lanes never carry across and the math is
+    # byte-exact for ANY uint8 input (masks clear the >> bleed bit).
+    M16 = jnp.int32(0x00FF00FF)
+    par = par_ref[0, 0, 0] & 1
+    d0 = dith_ref[0].astype(I32)
+    d1 = dith_ref[1].astype(I32)
+    d01 = jnp.where(par == 1, d1 + (d0 << 16), d0 + (d1 << 16))
     y32 = y_ref[0].astype(I32)
-    for k in range(2):
-        # ---- luma + dither for this field's parity ------------------
-        par = (par_ref[0, 0, 0] + k) & 1
-        d = jnp.where(par == 1, dith_ref[1].astype(I32),
-                      dith_ref[0].astype(I32))
-        P = (y32 + d) & 0xFC
-        p0 = P >> 2
-        z = jnp.zeros((192, 1), I32)
-        Pm1 = jnp.concatenate([z, P[:, :-1]], axis=1)
-        p0m1 = jnp.concatenate([z, p0[:, :-1]], axis=1)
-        xs4 = (jax.lax.broadcasted_iota(I32, (192, 352), 1) & 3) == 0
-        sa = jnp.where(xs4, (p0 + p0m1) >> 1,
-                       ((Pm1 >> 1) + (P >> 1)) >> 2)
-        active = ((sa + cxa) & 0xFF) | (((p0 + cxb) & 0xFF) << 8)
-        act_c = _pad2(active, g.active_top, xp, L, W2)
+    P = (y32 + (y32 << 16) + d01) & jnp.int32(0x00FC00FC)
+    p0 = P >> 2
+    z = jnp.zeros((192, 1), I32)
+    Pm1 = jnp.concatenate([z, P[:, :-1]], axis=1)
+    p0m1 = jnp.concatenate([z, p0[:, :-1]], axis=1)
+    xs4 = (jax.lax.broadcasted_iota(I32, (192, 352), 1) & 3) == 0
+    sa = jnp.where(xs4, ((p0 + p0m1) >> 1) & M16,
+                   ((((Pm1 >> 1) & M16) + ((P >> 1) & M16)) >> 2)
+                   & M16)
+    sac = sa + cxa + (cxa << 16)
+    pbc = p0 + cxb + (cxb << 16)
+    act_ref[0, 0] = ((sac & 0xFF)
+                     | ((pbc & 0xFF) << 8)).astype(jnp.int16)
+    act_ref[0, 1] = (((sac >> 16) & 0xFF)
+                     | (((pbc >> 16) & 0xFF) << 8)).astype(jnp.int16)
 
-        canvas = jnp.where(act_m, act_c, tmpl32)
-        canvas = jnp.where(osd_m, osd_c, canvas)
-        canvas = jnp.where(bar_m, bar_c, canvas)
-        out_ref[0, k] = canvas.astype(jnp.int16)
+
+@functools.cache
+def _parts_consts(pal: bool):
+    """(base_sum, geometry): base_sum = byte sum of the full two-field
+    template canvas MINUS the template bytes under the active regions
+    (both fields) and the OSD strip rows (both fields) -- the constant
+    part of packed_byte_sum when the variable regions are added."""
+    tmpl, _dith, g = _packed_consts(pal)
+    t32 = tmpl.astype(np.int64) & 0xFFFF
+    by = (t32 & 0xFF) + (t32 >> 8)
+    total = int(by.sum())
+    xp = g.active_x0() // 2
+    act = int(by[g.active_top:g.active_top + 192, xp:xp + 352].sum())
+    osd = int(by[g.osd_top:g.osd_top + 16, :].sum())
+    return 2 * (total - act - osd), g
 
 
 @functools.partial(jax.jit, static_argnames=("pal", "interpret"))
-def synthesize_field_pair_packed(y, u, v, frame_parity, osd, osd_blend,
-                                 osd_progress, *, pal: bool,
-                                 interpret: bool = False):
-    """Both fields, PACKED sample pairs: int16[N, 2, lines, width/2]
-    (lane k = DAC bytes 2k, 2k+1 little-endian).  unpack_fields()
-    recovers the uint8 canvas; byte-exact vs
-    composite.synthesize_field_pair."""
+def synthesize_field_pair_parts(y, u, v, frame_parity, osd, osd_blend,
+                                osd_progress, *, pal: bool,
+                                interpret: bool = False):
+    """The production form: (act int16[N, 2, 192, 352] packed active
+    sample pairs per field, strip int16[N, 16, W2] the shared OSD
+    rows).  Together with the constant template these are the complete
+    composite signal (assemble_canvas_packed); skipping the constant
+    ~71% of canvas bytes saves both kernel stores and downstream
+    checksum traffic."""
     tmpl, dith, g = _packed_consts(pal)
     N = y.shape[0]
     L, W2 = tmpl.shape
 
     def prep(c):
-        # vertical interp (odd lines) + column doubling, as in
-        # composite._chroma_samples' prologue; uint8-exact
         c = c.astype(jnp.int16)
         c0 = jnp.repeat(c, 2, axis=1)
         c1 = jnp.repeat(jnp.concatenate([c[:, 1:], c[:, -1:]], axis=1),
@@ -187,8 +212,8 @@ def synthesize_field_pair_packed(y, u, v, frame_parity, osd, osd_blend,
     smem = functools.partial(pl.BlockSpec, (1, 1, 1),
                              lambda n: (n, 0, 0),
                              memory_space=pltpu.SMEM)
-    out = pl.pallas_call(
-        functools.partial(_kernel, pal=pal, g=g),
+    act, strip = pl.pallas_call(
+        functools.partial(_kernel_parts, pal=pal, g=g),
         grid=(N,),
         in_specs=[
             smem(), smem(), smem(),
@@ -199,14 +224,66 @@ def synthesize_field_pair_packed(y, u, v, frame_parity, osd, osd_blend,
             pl.BlockSpec((L, W2), lambda n: (0, 0)),
             pl.BlockSpec((2, 192, 352), lambda n: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 2, L, W2), lambda n: (n, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, 2, L, W2), jnp.int16),
+        out_specs=[
+            pl.BlockSpec((1, 2, 192, 352), lambda n: (n, 0, 0, 0)),
+            pl.BlockSpec((1, 16, W2), lambda n: (n, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, 2, 192, 352), jnp.int16),
+            jax.ShapeDtypeStruct((N, 16, W2), jnp.int16),
+        ],
         interpret=interpret,
     )(frame_parity.astype(jnp.int32)[:, None, None],
       osd_blend.astype(jnp.int32)[:, None, None],
       osd_progress.astype(jnp.int32)[:, None, None], y, ui, vi, osd,
       jnp.asarray(tmpl), jnp.asarray(dith))
-    return out
+    return act, strip
+
+
+def field_parts_byte_sum(act, strip, *, pal: bool):
+    """packed_byte_sum equivalent from the parts form: per-lane canvas
+    byte sum of both fields (int32[N])."""
+    base, _g = _parts_consts(pal)
+
+    def bsum(x, axes):
+        v = x.astype(jnp.int32) & 0xFFFF
+        return ((v & 0xFF) + (v >> 8)).sum(axis=axes, dtype=jnp.int32)
+
+    return (bsum(act, (1, 2, 3)) + 2 * bsum(strip, (1, 2))
+            + jnp.int32(base))
+
+
+def assemble_canvas_packed(act, strip, *, pal: bool):
+    """(act, strip) -> the full packed canvas int16[N, 2, L, W2],
+    byte-identical to synthesize_field_pair_packed's output."""
+    tmpl, _dith, g = _packed_consts(pal)
+    N = act.shape[0]
+    L, W2 = tmpl.shape
+    xp = g.active_x0() // 2
+    canvas = jnp.broadcast_to(jnp.asarray(tmpl)[None, None],
+                              (N, 2, L, W2))
+    canvas = jax.lax.dynamic_update_slice(
+        canvas, act, (0, 0, g.active_top, xp))
+    strip2 = jnp.broadcast_to(strip[:, None], (N, 2, 16, W2))
+    canvas = jax.lax.dynamic_update_slice(
+        canvas, strip2, (0, 0, g.osd_top, 0))
+    return canvas
+
+
+@functools.partial(jax.jit, static_argnames=("pal", "interpret"))
+def synthesize_field_pair_packed(y, u, v, frame_parity, osd, osd_blend,
+                                 osd_progress, *, pal: bool,
+                                 interpret: bool = False):
+    """Both fields, PACKED sample pairs: int16[N, 2, lines, width/2]
+    (lane k = DAC bytes 2k, 2k+1 little-endian).  unpack_fields()
+    recovers the uint8 canvas; byte-exact vs
+    composite.synthesize_field_pair.  Compat surface: the production
+    chain consumes the parts form (synthesize_field_pair_parts)
+    directly and only assembles full canvases for tapped lanes."""
+    act, strip = synthesize_field_pair_parts(
+        y, u, v, frame_parity, osd, osd_blend, osd_progress, pal=pal,
+        interpret=interpret)
+    return assemble_canvas_packed(act, strip, pal=pal)
 
 
 def unpack_fields(packed):

@@ -33,7 +33,7 @@ def init_state(n_lanes: int):
 @functools.partial(jax.jit, static_argnames=("n_samples",
                                              "samples_per_step"))
 def modulate(pcm, state, *, n_samples: int,
-             samples_per_step: int = 4):
+             samples_per_step: int | None = None):
     """pcm: int16/int32[N, T] -> (pdm uint16-in-int32[N, 2*T], state).
 
     Each PCM sample yields two 16-bit PDM words (MSB-first bit order,
@@ -43,12 +43,18 @@ def modulate(pcm, state, *, n_samples: int,
     serial chain, and per-step dispatch overhead (operand slicing +
     small DMAs) dominated at one half-sample per step (measured
     ~1.2us/step on a v5e); unrolling samples into each step body cuts
-    the step count with bit-identical output.  Default 4 (8x fewer
-    steps): XLA's compile time grows superlinearly in the unrolled
-    serial chain length (4 -> 7s, 8 -> 40s, 16 -> minutes on CPU)."""
+    the step count with bit-identical output.  Default: 4 (8x fewer
+    steps) at production lane counts, 1 for small N on CPU -- XLA
+    CPU's codegen goes superlinear on the unrolled serial chain at
+    SMALL vector widths (measured: N=8 sps=4 takes MINUTES to compile
+    while N=8 sps=1 is 0.5s and N=1024 sps=4 is seconds; this is what
+    blew the round-4 multichip dryrun's time budget)."""
     N, Tn = pcm.shape
     assert Tn == n_samples
     pcm32 = pcm.astype(jnp.int32) * 2
+    if samples_per_step is None:
+        samples_per_step = 4 if (N >= 128 or
+                                 jax.default_backend() == "tpu") else 1
     sps = samples_per_step
     if Tn % sps:
         sps = 1          # padding would advance the carried state
@@ -88,7 +94,7 @@ def modulate(pcm, state, *, n_samples: int,
 @functools.partial(jax.jit, static_argnames=("n_samples",
                                              "samples_per_step"))
 def modulate_spec(pcm, state, *, n_samples: int,
-                  samples_per_step: int = 4):
+                  samples_per_step: int | None = None):
     """Speculative two-path formulation of `modulate` (bit-identical).
 
     The plain recurrence's per-bit critical path runs compare ->
@@ -109,6 +115,9 @@ def modulate_spec(pcm, state, *, n_samples: int,
     N, Tn = pcm.shape
     assert Tn == n_samples
     pcm32 = pcm.astype(jnp.int32) * 2
+    if samples_per_step is None:
+        samples_per_step = 4 if (N >= 128 or
+                                 jax.default_backend() == "tpu") else 1
     sps = samples_per_step
     if Tn % sps:
         sps = 1

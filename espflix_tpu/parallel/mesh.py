@@ -85,6 +85,7 @@ def make_sharded_pallas_decoder(mesh: Mesh, *, mb_width: int,
                                 mb_height: int, long_rows: int,
                                 steps_long: int = 1024,
                                 steps_short: int = 384,
+                                chunk: int = 128,
                                 interpret: bool = False):
     """The PRODUCTION parser under the mesh: slice-parallel Pallas
     scan + matmul scatter + dense phase, shard_map'ed over 'streams'.
@@ -120,7 +121,8 @@ def make_sharded_pallas_decoder(mesh: Mesh, *, mb_width: int,
                 r_size, lane_of_row, perm, mb_width=mb_width,
                 mb_height=mb_height, n_lanes=n_loc,
                 long_rows=long_rows, steps_long=steps_long,
-                steps_short=steps_short, chunk=128,
+                steps_short=steps_short,
+                chunk=min(chunk, steps_short),
                 interpret=interpret, transposed=True)
         frames, pres = Mm.dense_compose(
             None, recs, nfinal, intra_q, non_intra_q, active,

@@ -71,6 +71,7 @@ def _chunk_scan(xs, frames, sbc_state, ds_state, tap_idx, slide,
                 n_aud_frames: int, channels: int, pal: bool,
                 scrolled: bool, tap: int, interpret: bool,
                 return_planes: bool = True, win: int = 0,
+                chunk: int = 128,
                 lane0=0, psum_axis: str | None = None):
     """The chain core: K full decode->signal ticks as one lax.scan.
 
@@ -98,7 +99,7 @@ def _chunk_scan(xs, frames, sbc_state, ds_state, tap_idx, slide,
                 mb_width=mb_width, mb_height=mb_height,
                 n_lanes=n_lanes, long_rows=long_rows,
                 steps_long=steps_long, steps_short=steps_short,
-                chunk=128, interpret=interpret, transposed=True)
+                chunk=chunk, interpret=interpret, transposed=True)
         frames, p = M.dense_compose(
             None, recs, nfinal, x["intra_q"], x["non_intra_q"],
             x["active"], frames, mb_width=mb_width,
@@ -112,9 +113,12 @@ def _chunk_scan(xs, frames, sbc_state, ds_state, tap_idx, slide,
         else:
             ye, ue, ve = p["y"], p["u"], p["v"]
         # VMEM-resident field-pair kernel, byte-exact vs the XLA
-        # chain; the canvas stays PACKED (one int16 = two DAC bytes)
-        # until a consumer unpacks (ops/composite_pallas.py)
-        fields_p = CP.synthesize_field_pair_packed(
+        # chain; the signal stays PACKED (one int16 = two DAC bytes)
+        # and in PARTS form -- per-field active pairs + the shared OSD
+        # strip; the ~71% constant template bytes are never written
+        # per lane (ops/composite_pallas.py; taps assemble the full
+        # canvas on demand)
+        f_act, f_strip = CP.synthesize_field_pair_parts(
             ye, ue, ve, x["parity"], x["osd"], x["blend"],
             x["progress"], pal=pal, interpret=interpret)
 
@@ -135,7 +139,7 @@ def _chunk_scan(xs, frames, sbc_state, ds_state, tap_idx, slide,
         out = dict(
             err=err,
             audio_err=aerr.any(axis=tuple(range(1, aerr.ndim))),
-            field_sum=CP.packed_byte_sum(fields_p),
+            field_sum=CP.field_parts_byte_sum(f_act, f_strip, pal=pal),
             pdm_sum=pdm.sum(axis=1, dtype=jnp.int32),
         )
         if return_planes:
@@ -148,8 +152,10 @@ def _chunk_scan(xs, frames, sbc_state, ds_state, tap_idx, slide,
                 axis=(1, 2), dtype=jnp.int32)
         if tap:
             if psum_axis is None:
-                out["tap_fields"] = CP.unpack_fields(
-                    jnp.take(fields_p, tap_idx[:tap], axis=0))
+                tf_p = CP.assemble_canvas_packed(
+                    jnp.take(f_act, tap_idx[:tap], axis=0),
+                    jnp.take(f_strip, tap_idx[:tap], axis=0), pal=pal)
+                out["tap_fields"] = CP.unpack_fields(tf_p)
                 out["tap_pdm"] = jnp.take(pdm, tap_idx[:tap], axis=0)
             else:
                 # tap_idx is GLOBAL under the mesh: each shard
@@ -160,8 +166,10 @@ def _chunk_scan(xs, frames, sbc_state, ds_state, tap_idx, slide,
                 li = tap_idx[:tap] - lane0
                 inside = (li >= 0) & (li < n_lanes)
                 lc = jnp.clip(li, 0, n_lanes - 1)
-                tf = CP.unpack_fields(
-                    jnp.take(fields_p, lc, axis=0)).astype(jnp.int32)
+                tf_p = CP.assemble_canvas_packed(
+                    jnp.take(f_act, lc, axis=0),
+                    jnp.take(f_strip, lc, axis=0), pal=pal)
+                tf = CP.unpack_fields(tf_p).astype(jnp.int32)
                 tf = jnp.where(inside[:, None, None, None], tf, 0)
                 out["tap_fields"] = jax.lax.psum(
                     tf, psum_axis).astype(jnp.uint8)
@@ -180,13 +188,14 @@ def _chunk_scan(xs, frames, sbc_state, ds_state, tap_idx, slide,
                               "long_rows", "steps_long", "steps_short",
                               "n_aud_frames", "channels", "pal",
                               "scrolled", "tap", "interpret",
-                              "return_planes", "win"))
+                              "return_planes", "win", "chunk"))
 def run_full_chunk(xs, frames, sbc_state, ds_state, tap_idx, slide,
                    *, mb_width: int, mb_height: int, n_lanes: int,
                    long_rows: int, steps_long: int, steps_short: int,
                    n_aud_frames: int, channels: int, pal: bool,
                    scrolled: bool, tap: int, interpret: bool,
-                   return_planes: bool = True, win: int = 0):
+                   return_planes: bool = True, win: int = 0,
+                   chunk: int = 128):
     """One dispatch: K full decode->signal ticks.
 
     xs: dict of [K, ...] per-tick inputs (DECODE_KEYS + OUTPUT_KEYS,
@@ -204,7 +213,8 @@ def run_full_chunk(xs, frames, sbc_state, ds_state, tap_idx, slide,
         long_rows=long_rows, steps_long=steps_long,
         steps_short=steps_short, n_aud_frames=n_aud_frames,
         channels=channels, pal=pal, scrolled=scrolled, tap=tap,
-        interpret=interpret, return_planes=return_planes, win=win)
+        interpret=interpret, return_planes=return_planes, win=win,
+        chunk=chunk)
 
 
 _SHARDED_CACHE: dict = {}
@@ -218,6 +228,7 @@ def make_sharded_full_chunk(mesh, *, mb_width: int, mb_height: int,
                             interpret: bool,
                             return_planes: bool = False,
                             win: int = 0,
+                            chunk: int = 128,
                             xs_keys: tuple = ()):
     """The full chain under the mesh: run_full_chunk's body
     shard_map'ed over the 'streams' axis (SURVEY.md 2.3 DP; zero
@@ -237,7 +248,7 @@ def make_sharded_full_chunk(mesh, *, mb_width: int, mb_height: int,
         + (SCROLL_KEYS if scrolled else ()))
     key = (mesh, mb_width, mb_height, n_lanes, long_rows, steps_long,
            steps_short, n_aud_frames, channels, pal, scrolled, tap,
-           interpret, return_planes, win, xs_keys)
+           interpret, return_planes, win, chunk, xs_keys)
     fn = _SHARDED_CACHE.get(key)
     if fn is not None:
         return fn
@@ -266,7 +277,7 @@ def make_sharded_full_chunk(mesh, *, mb_width: int, mb_height: int,
             steps_short=steps_short, n_aud_frames=n_aud_frames,
             channels=channels, pal=pal, scrolled=scrolled, tap=tap,
             interpret=interpret, return_planes=return_planes,
-            win=win, lane0=lane0, psum_axis="streams")
+            win=win, chunk=chunk, lane0=lane0, psum_axis="streams")
 
     ls = P("streams")                      # lane-major carries
     ks = P(None, "streams")                # [K, lanes/rows, ...] xs

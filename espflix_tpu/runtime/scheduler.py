@@ -1165,8 +1165,8 @@ class Fleet:
         return words, act, nval, starved, ch
 
     def run_chunk_full(self, n_ticks: int, tap_lanes=(),
-                       steps_long: int = 1024, steps_short: int = 384
-                       ) -> list["TickResult"]:
+                       steps_long: int = 1024, steps_short: int = 384,
+                       chunk: int = 128) -> list["TickResult"]:
         """K ticks of the COMPLETE reference loop in one device
         dispatch: decode + both composite fields (real per-lane OSD/
         progress/slide/beep/starved state) + SBC + delta-sigma PDM
@@ -1328,6 +1328,7 @@ class Fleet:
                     channels=ch, pal=self.pal, scrolled=scrolled,
                     tap=tap, interpret=self._pallas_interpret,
                     return_planes=True, win=win,
+                    chunk=min(chunk, steps_short),
                     xs_keys=tuple(xs.keys()))
                 (self.frames, self.sbc_state, self.output.pdm_state,
                  outs) = fn(xs, self.frames, self.sbc_state,
@@ -1342,7 +1343,8 @@ class Fleet:
                     steps_long=steps_long, steps_short=steps_short,
                     n_aud_frames=F, channels=ch, pal=self.pal,
                     scrolled=scrolled, tap=tap,
-                    interpret=self._pallas_interpret, win=win)
+                    interpret=self._pallas_interpret, win=win,
+                    chunk=min(chunk, steps_short))
 
         with self.timers.measure("host_sync"):
             errs = np.asarray(outs["err"]) | dup_any[None, :]

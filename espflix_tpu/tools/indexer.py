@@ -102,10 +102,18 @@ def encode_multi_gop(scripts: list[dict]) -> bytes:
 
 
 def make_title(rng, n_gops=4, gop=12, fps=30, speed=15,
-               audio_frames=None, width=352, height=192):
-    """Generate (video_ts, fwd_ts, rwd_ts, idx_bytes, poster_ts)."""
+               audio_frames=None, width=352, height=192,
+               i_coeffs=6, p_coeffs=8):
+    """Generate (video_ts, fwd_ts, rwd_ts, idx_bytes, poster_ts).
+
+    i_coeffs/p_coeffs bound per-block AC coefficient counts
+    (tools/content.realistic_gop_script) -- small values produce
+    low-entropy titles whose slices decode within small scan budgets
+    (used by the multichip dryrun to keep interpret-mode cost down)."""
     scripts = [realistic_gop_script(rng, n_pictures=gop,
-                                    width=width, height=height)
+                                    width=width, height=height,
+                                    i_coeffs=i_coeffs,
+                                    p_coeffs=p_coeffs)
                for _ in range(n_gops)]
     es = encode_multi_gop(scripts)
     per = 90000 // fps
@@ -122,7 +130,9 @@ def make_title(rng, n_gops=4, gop=12, fps=30, speed=15,
     n_total = n_gops * gop
     n_fwd = max(n_total // speed, 2)
     fwd_scripts = [realistic_gop_script(rng, n_pictures=3,
-                                        width=width, height=height)
+                                        width=width, height=height,
+                                        i_coeffs=i_coeffs,
+                                        p_coeffs=p_coeffs)
                    for _ in range(max(n_fwd // 3, 1))]
     fes = encode_multi_gop(fwd_scripts)
     _, fpics, ftrail = ts_mux.split_es_by_picture(fes)
@@ -139,7 +149,9 @@ def make_title(rng, n_gops=4, gop=12, fps=30, speed=15,
     idx = make_index(video_ts, fwd_ts, rwd_ts, speed)
 
     poster_scripts = [realistic_gop_script(rng, n_pictures=1,
-                                           width=width, height=height)]
+                                           width=width, height=height,
+                                           i_coeffs=i_coeffs,
+                                           p_coeffs=p_coeffs)]
     poster_es = encode_multi_gop(poster_scripts)
     poster_ts = ts_mux.mux_video_es(poster_es, fps=fps)
     return video_ts, fwd_ts, rwd_ts, idx, poster_ts

@@ -37,6 +37,31 @@ def test_field_pair_packed_matches_xla(rng, pal):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("pal", [False, True])
+def test_parts_form_matches_full_canvas(rng, pal):
+    """The production parts form (per-field active pairs + shared OSD
+    strip, runtime/chain.py) reconstructs the exact full canvas and
+    reproduces packed_byte_sum via the template constants."""
+    N = 3
+    y = jnp.asarray(rng.integers(0, 256, (N, 192, 352), dtype=np.uint8))
+    u = jnp.asarray(rng.integers(0, 256, (N, 96, 176), dtype=np.uint8))
+    v = jnp.asarray(rng.integers(0, 256, (N, 96, 176), dtype=np.uint8))
+    par = jnp.asarray(rng.integers(0, 2, (N,), dtype=np.int32))
+    osd = jnp.asarray(rng.integers(0, 256, (N, 16, 80), dtype=np.uint8))
+    blend = jnp.asarray(np.array([-1, 0, 17], dtype=np.int32))
+    prog = jnp.asarray(np.array([0, 100, 240], dtype=np.int32))
+    ref = np.asarray(CO.synthesize_field_pair(
+        y, u, v, par, osd, blend, prog, pal=pal))
+    act, strip = CP.synthesize_field_pair_parts(
+        y, u, v, par, osd, blend, prog, pal=pal, interpret=INTERP)
+    canvas = CP.assemble_canvas_packed(act, strip, pal=pal)
+    np.testing.assert_array_equal(np.asarray(CP.unpack_fields(canvas)),
+                                  ref)
+    np.testing.assert_array_equal(
+        np.asarray(CP.field_parts_byte_sum(act, strip, pal=pal)),
+        ref.astype(np.int64).sum(axis=(1, 2, 3)))
+
+
 def test_packed_byte_sum_matches_unpacked(rng):
     N = 2
     y = jnp.asarray(rng.integers(0, 256, (N, 192, 352), dtype=np.uint8))
