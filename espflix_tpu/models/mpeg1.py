@@ -425,13 +425,14 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
         if use_pallas_mocomp is None:
             if jax.default_backend() == "tpu":
                 # ESPFLIX_MOCOMP selects the TPU production variant:
-                # "hybrid" (phase-stack luma + packed dual chroma, the
-                # round-4 measured default: 23.4 vs 27.8 ms isolated
-                # at 1024 lanes), "phase" (phase-stacked both),
-                # "packed" (packed SWAR both), "pallas" (roll-window
-                # predict kernel + XLA compose) or "fused2"
-                # (branch-free fused mocomp+compose)
-                v = os.environ.get("ESPFLIX_MOCOMP", "hybrid")
+                # "hybrid2" (row-pair phase-stack luma + packed dual
+                # chroma, the round-5 measured default: luma 10.5 vs
+                # 15.0 ms isolated at 1024 lanes), "hybrid" (unpacked
+                # phase luma, round-4 default), "phase" (phase-stacked
+                # both), "packed" (packed SWAR both), "pallas"
+                # (roll-window predict kernel + XLA compose) or
+                # "fused2" (branch-free fused mocomp+compose)
+                v = os.environ.get("ESPFLIX_MOCOMP", "hybrid2")
                 use_pallas_mocomp = True if v == "pallas" else v
             else:
                 use_pallas_mocomp = False
@@ -465,17 +466,22 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
                                           interpret=interp)
             pred_u, pred_v = predict_chroma_pair_packed(
                 ref_u, ref_v, mv_h >> 1, mv_v >> 1, interpret=interp)
-        elif use_pallas_mocomp == "hybrid":
+        elif use_pallas_mocomp in ("hybrid", "hybrid2"):
             # measured split decision (docs/PERF.md round 4): luma
-            # prefers the unpacked phase stack (15.3 vs 19.1 ms --
-            # the 8 pre-shifted packed copies cost more than packing
-            # saves on the big plane), chroma prefers the packed dual
-            # kernel (~8.3 vs ~12.5 ms for the u+v pair)
+            # prefers a phase stack (the 8 pre-shifted packed copies
+            # cost more than packing saves on the big plane), chroma
+            # prefers the packed dual kernel (~8.3 vs ~12.5 ms for
+            # the u+v pair).  hybrid2 uses the row-pair phase-stacked
+            # luma kernel (_phase2_kernel): the dynamic lane roll --
+            # the dominant per-visit op -- touches half the rows
             from espflix_tpu.ops.mocomp_pallas import (
-                predict_chroma_pair_packed, predict_plane_phase)
+                predict_chroma_pair_packed, predict_plane_phase,
+                predict_plane_phase2)
             interp = jax.default_backend() != "tpu"
-            pred_y = predict_plane_phase(ref_y, mv_h, mv_v, 16,
-                                         interpret=interp)
+            luma = predict_plane_phase2 \
+                if use_pallas_mocomp == "hybrid2" else \
+                predict_plane_phase
+            pred_y = luma(ref_y, mv_h, mv_v, 16, interpret=interp)
             pred_u, pred_v = predict_chroma_pair_packed(
                 ref_u, ref_v, mv_h >> 1, mv_v >> 1, interpret=interp)
         elif use_pallas_mocomp:

@@ -386,7 +386,12 @@ def _phase_kernel(mvh_ref, mvv_ref, ref_ref, out_ref, ph, *, S, H, W,
                 # luma: narrow the whole slice+roll chain to the
                 # 256-lane span containing the window (dynamic lane
                 # slices are dependable at 128-lane granularity;
-                # x0 <= W-S = 336 so the two spans cover every case)
+                # x0 <= W-S = 336 so the two spans cover every case).
+                # Sublane roll FIRST: a lane-roll-first variant that
+                # narrowed the sublane roll to (24, 128) measured 19.1
+                # vs 15.3 ms at 1024 lanes -- dynamic LANE rolls are
+                # the expensive op (~1.1 cyc/vreg vs ~0.2 for sublane
+                # rolls), so the lane roll must touch S rows, not T
                 ls = jnp.where(x0 < 128, 0, 128)
                 win = ph[pl.ds(pl.multiple_of(k * HP + y0a, 8), T),
                          pl.ds(pl.multiple_of(ls, 128), 256)]
@@ -491,6 +496,118 @@ def predict_chroma_pair_phase(ref_u, ref_v, mv_h, mv_v,
         interpret=interpret,
     )(mv_h, mv_v, refp)
     return out[:, :, :W], out[:, :, 192:192 + W]
+
+
+def _phase2_kernel(mvh_ref, mvv_ref, ref_ref, out_ref, ph, *, S, H, W,
+                   WP, mbh, mbw, HP):
+    """Row-pair phase-stacked luma mocomp: rows r and r+8 of every
+    half-pel phase plane pack as the lo/hi 16-bit halves of one int32
+    lane (a 16x16 window is 8 pair rows), so the dynamic LANE roll --
+    measured ~1.1 cyc/vreg vs ~0.2 for sublane rolls, the dominant
+    per-visit op of _phase_kernel -- touches HALF the rows per visit.
+    Phase interpolation runs directly in the packed domain (halves
+    never carry: 2-tap sums <= 511, 4-tap <= 1022, masked after the
+    shift), exactly player.cpp:767-819 per half.  Output stays
+    row-pair packed int32 [H/2, W] (lo = rows 0-7 of each 16-row block
+    row, hi = rows 8-15); unpack_rowpairs() restores the uint8 plane.
+    """
+    I32 = jnp.int32
+    M8 = jnp.int32(0x00FF00FF)
+    R1 = jnp.int32(0x00010001)
+    R2 = jnp.int32(0x00020002)
+    A = ref_ref[0]
+    A2 = A + (pltpu.roll(A, HP - 8, 0) << 16)     # rows r | r+8
+    Ax2 = pltpu.roll(A2, WP - 1, 1)               # cols x+1
+    Ay2 = pltpu.roll(A2, HP - 1, 0)               # rows +1 (both halves)
+    Axy2 = pltpu.roll(Ax2, HP - 1, 0)
+    ph[0:HP, :] = A2
+    ph[HP:2 * HP, :] = ((A2 + Ax2 + R1) >> 1) & M8
+    ph[2 * HP:3 * HP, :] = ((A2 + Ay2 + R1) >> 1) & M8
+    ph[3 * HP:4 * HP, :] = ((A2 + Ax2 + Ay2 + Axy2 + R2) >> 2) & M8
+    S2 = S // 2
+    T2 = 16                                       # pair rows y0..y0+8
+                                                  # within [y0a, y0a+16)
+
+    def mb_row(r, _):
+        def one_col(c):
+            mh = mvh_ref[0, r, c]
+            mv = mvv_ref[0, r, c]
+            xh = c * 2 * S + mh
+            yh = r * 2 * S + mv
+            x0 = jnp.clip(xh >> 1, 0, W - S)
+            y0 = jnp.clip(yh >> 1, 0, H - S)
+            k = (yh & 1) * 2 + (xh & 1)
+            y0a = (y0 >> 3) << 3
+            d = y0 - y0a
+            if WP == 384:
+                # narrow to the 256-lane span containing the window
+                # (same policy as _phase_kernel)
+                ls = jnp.where(x0 < 128, 0, 128)
+                win = ph[pl.ds(pl.multiple_of(k * HP + y0a, 8), T2),
+                         pl.ds(pl.multiple_of(ls, 128), 256)]
+                win = pltpu.roll(win, jnp.where(d == 0, 0, T2 - d), 0)
+                w = win[0:S2, :]
+                f = x0 - ls
+                w2 = pltpu.roll(w, jnp.where(f == 0, 0, 256 - f), 1)
+            else:
+                win = ph[pl.ds(pl.multiple_of(k * HP + y0a, 8), T2), :]
+                win = pltpu.roll(win, jnp.where(d == 0, 0, T2 - d), 0)
+                w = win[0:S2, :]
+                w2 = pltpu.roll(w, jnp.where(x0 == 0, 0, WP - x0), 1)
+            out_ref[0, pl.ds(pl.multiple_of(r * S2, 8), S2),
+                    c * S:(c + 1) * S] = w2[:, 0:S]
+        for c in range(mbw):
+            one_col(c)
+        return 0
+
+    jax.lax.fori_loop(0, mbh, mb_row, 0)
+
+
+def unpack_rowpairs(out32, H: int, W: int):
+    """int32[N, H/2, >=W] row-pair packed -> uint8[N, H, W]: pair row
+    (16b + i) holds block-row b's pixel rows 16b+i (lo 16 bits) and
+    16b+8+i (hi)."""
+    N = out32.shape[0]
+    o = out32[:, :, :W]
+    lo = (o & 0xFF).astype(jnp.uint8).reshape(N, H // 16, 8, W)
+    hi = ((o >> 16) & 0xFF).astype(jnp.uint8).reshape(N, H // 16, 8, W)
+    return jnp.concatenate([lo, hi], axis=2).reshape(N, H, W)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mb_size", "interpret"))
+def predict_plane_phase2(ref, mv_h, mv_v, mb_size: int,
+                         interpret: bool = False):
+    """predict_plane via the row-pair phase-stacked kernel
+    (bit-identical; see _phase2_kernel)."""
+    N, H, W = ref.shape
+    mbh, mbw = mv_h.shape[1], mv_h.shape[2]
+    S = mb_size
+    assert mbh * S == H and mbw * S == W and S == 16 and W + 1 <= 384
+    T = _round_up(S + 1 + 7, 8)
+    HP = _round_up(H - S + T, 8)
+    WP = _round_up(W + 1, 128)
+    refp = jnp.pad(ref.astype(jnp.int32),
+                   ((0, 0), (0, HP - H), (0, WP - W)))
+    out = pl.pallas_call(
+        functools.partial(_phase2_kernel, S=S, H=H, W=W, WP=WP,
+                          mbh=mbh, mbw=mbw, HP=HP),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, HP, WP), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H // 2, WP), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H // 2, WP), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((4 * HP, WP), jnp.int32)],
+        interpret=interpret,
+    )(mv_h, mv_v, refp)
+    return unpack_rowpairs(out, H, W)
 
 
 def _packed_kernel(mvh_ref, mvv_ref, ref_ref, out_ref, stk, *, S, H, W,

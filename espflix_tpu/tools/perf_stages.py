@@ -135,7 +135,8 @@ def make_stages(d, interp: bool):
     from espflix_tpu.ops import idct as idct_ops
     from espflix_tpu.ops import vlc_scan
     from espflix_tpu.ops.composite_pallas import (
-        packed_byte_sum, synthesize_field_pair_packed)
+        field_parts_byte_sum, packed_byte_sum,
+        synthesize_field_pair_packed, synthesize_field_pair_parts)
     from espflix_tpu.ops.idct_pallas import block_residuals_T_pallas
     from espflix_tpu.ops.mocomp_pallas import (compose_plane_pallas2,
                                                predict_plane_pallas)
@@ -205,6 +206,12 @@ def make_stages(d, interp: bool):
         from espflix_tpu.ops.mocomp_pallas import predict_plane_phase
         py = predict_plane_phase(dd["ref_y"] ^ s8(salt), dd["mv_h"],
                                  dd["mv_v"], 16, interpret=interp)
+        return isum(py)
+
+    def mocomp_phase2_luma(dd, salt):
+        from espflix_tpu.ops.mocomp_pallas import predict_plane_phase2
+        py = predict_plane_phase2(dd["ref_y"] ^ s8(salt), dd["mv_h"],
+                                  dd["mv_v"], 16, interpret=interp)
         return isum(py)
 
     def mocomp_luma(dd, salt):
@@ -310,6 +317,17 @@ def make_stages(d, interp: bool):
         return isum(pres["y"]) + isum(pres["u"]) + isum(pres["v"])
 
     def fieldpair(dd, salt):
+        # the production parts form (chain.py): per-field active pairs
+        # + shared OSD strip + checksum, no full-canvas writes
+        act, strip = synthesize_field_pair_parts(
+            dd["cur_y"] ^ s8(salt), dd["cur_u"], dd["cur_v"],
+            dd["parity"], dd["osd"], dd["blend"], dd["progress"],
+            pal=False, interpret=interp)
+        return field_parts_byte_sum(act, strip,
+                                    pal=False).sum(dtype=jnp.int32)
+
+    def fieldpair_full(dd, salt):
+        # compat surface: full-canvas assembly included
         fp = synthesize_field_pair_packed(
             dd["cur_y"] ^ s8(salt), dd["cur_u"], dd["cur_v"],
             dd["parity"], dd["osd"], dd["blend"], dd["progress"],
@@ -350,6 +368,7 @@ def make_stages(d, interp: bool):
                 assemble=assemble, mocomp=mocomp,
                 mocomp_phase=mocomp_phase,
                 mocomp_phase_luma=mocomp_phase_luma,
+                mocomp_phase2_luma=mocomp_phase2_luma,
                 mocomp_packed=mocomp_packed,
                 mocomp_packed_luma=mocomp_packed_luma,
                 mocomp_hybrid=mocomp_hybrid,
@@ -358,7 +377,8 @@ def make_stages(d, interp: bool):
                 compose_select=compose_select, parity_put=parity_put,
                 presented_where=presented_where,
                 compose_fused2=compose_fused2, dense_all=dense_all,
-                fieldpair=fieldpair, sbc=sbc, pdm=pdm,
+                fieldpair=fieldpair, fieldpair_full=fieldpair_full,
+                sbc=sbc, pdm=pdm,
                 pdm_spec=pdm_spec)
 
 

@@ -235,7 +235,37 @@ def test_phase_stacked_mocomp_matches_reference():
         MC.predict_plane(rv, jnp.asarray(mh), jnp.asarray(mv), S)))
 
 
-@pytest.mark.parametrize("variant", ["phase", "hybrid", "packed"])
+def test_rowpair_phase_mocomp_matches_reference():
+    """predict_plane_phase2 (row-pair packed phase stack: rows r and
+    r+8 as 16-bit halves of one int32 lane, halving the per-visit
+    dynamic lane roll) must be bit-identical to predict_plane for
+    in-bounds MVs, all four half-pel phases."""
+    import jax.numpy as jnp
+
+    from espflix_tpu.ops import mocomp as MC
+    from espflix_tpu.ops.mocomp_pallas import predict_plane_phase2
+
+    rng = np.random.default_rng(9)
+    for (N, H, W, S) in ((2, 64, 128, 16),
+                         (1, 192, 352, 16)):  # WP=384: narrowed roll
+        mbh, mbw = H // S, W // S
+        ref = jnp.asarray(rng.integers(0, 249, (N, H, W),
+                                       dtype=np.uint8))
+        bx = np.arange(mbw)[None, None, :] * S
+        by = np.arange(mbh)[None, :, None] * S
+        mh = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                     -2 * bx, 2 * (W - S - bx) - 1).astype(np.int32)
+        mv = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                     -2 * by, 2 * (H - S - by) - 1).astype(np.int32)
+        want = np.asarray(MC.predict_plane(
+            ref, jnp.asarray(mh), jnp.asarray(mv), S))
+        got = np.asarray(predict_plane_phase2(
+            ref, jnp.asarray(mh), jnp.asarray(mv), S, interpret=INTERP))
+        assert np.array_equal(got, want), ("phase2", N, H, W, S)
+
+
+@pytest.mark.parametrize("variant", ["phase", "hybrid", "hybrid2",
+                                     "packed"])
 def test_dense_compose_phase_variant_bit_exact(variant):
     """dense_compose with the Pallas mocomp variants ('phase' stack,
     the measured-default 'hybrid' phase-luma+packed-chroma split, and
