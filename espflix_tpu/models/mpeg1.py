@@ -466,7 +466,7 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
                                           interpret=interp)
             pred_u, pred_v = predict_chroma_pair_packed(
                 ref_u, ref_v, mv_h >> 1, mv_v >> 1, interpret=interp)
-        elif use_pallas_mocomp in ("hybrid", "hybrid2"):
+        elif use_pallas_mocomp in ("hybrid", "hybrid2", "hybrid4"):
             # measured split decision (docs/PERF.md round 4): luma
             # prefers a phase stack (the 8 pre-shifted packed copies
             # cost more than packing saves on the big plane), chroma
@@ -476,11 +476,13 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
             # the dominant per-visit op -- touches half the rows
             from espflix_tpu.ops.mocomp_pallas import (
                 predict_chroma_pair_packed, predict_plane_phase,
-                predict_plane_phase2)
+                predict_plane_phase2, predict_plane_phase4)
             interp = jax.default_backend() != "tpu"
-            luma = predict_plane_phase2 \
-                if use_pallas_mocomp == "hybrid2" else \
-                predict_plane_phase
+            luma = {"hybrid": predict_plane_phase,
+                    "hybrid2": predict_plane_phase2,
+                    "hybrid4": predict_plane_phase4}[use_pallas_mocomp]
+            if use_pallas_mocomp == "hybrid4" and mb_height % 2:
+                luma = predict_plane_phase2
             pred_y = luma(ref_y, mv_h, mv_v, 16, interpret=interp)
             pred_u, pred_v = predict_chroma_pair_packed(
                 ref_u, ref_v, mv_h >> 1, mv_v >> 1, interpret=interp)

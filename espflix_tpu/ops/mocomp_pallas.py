@@ -610,6 +610,140 @@ def predict_plane_phase2(ref, mv_h, mv_v, mb_size: int,
     return unpack_rowpairs(out, H, W)
 
 
+def _phase4_kernel(mvh_ref, mvv_ref, ref_ref, out_ref, ph, band, *,
+                   S, H, W, WP, mbh, mbw, HP):
+    """Row-quad phase-stacked luma mocomp: rows r, r+4, r+8, r+12 of
+    every half-pel phase plane pack as the four BYTES of one int32
+    lane (a 16x16 window is exactly 4 quad rows), so the per-visit
+    dynamic lane roll -- the dominant op -- touches a QUARTER of the
+    rows.  Phases build in SWAR byte form like _packed_kernel
+    (ceil-avg for 2-tap, even/odd 16-bit expansion for 4-tap; exactly
+    player.cpp:767-819 per byte).  Output is row-quad packed int32
+    [H/4, W] (byte b of quad row 4r+i = pixel row 16r+4b+i);
+    visits write a (8, WP) band flushed every TWO block rows so all
+    sublane stores stay 8-aligned.  unpack_rowquads() restores the
+    uint8 plane."""
+    _M7 = np.uint32(0x7F7F7F7F)
+    _ME = np.uint32(0x00FF00FF)
+    _R2 = np.uint32(0x00020002)
+    _U1 = np.uint32(1)
+    _U2 = np.uint32(2)
+    _U8 = np.uint32(8)
+    A = jax.lax.bitcast_convert_type(ref_ref[0], jnp.uint32)
+    A4 = (A | (pltpu.roll(A, HP - 4, 0) << _U8)
+          | (pltpu.roll(A, HP - 8, 0) << np.uint32(16))
+          | (pltpu.roll(A, HP - 12, 0) << np.uint32(24)))
+    Ax4 = pltpu.roll(A4, WP - 1, 1)
+    Ay4 = pltpu.roll(A4, HP - 1, 0)
+    Axy4 = pltpu.roll(Ax4, HP - 1, 0)
+
+    def ceil_avg(a, b):                    # per byte: (a + b + 1) >> 1
+        return (a | b) - (((a ^ b) >> _U1) & _M7)
+
+    ph[0:HP, :] = A4
+    ph[HP:2 * HP, :] = ceil_avg(A4, Ax4)
+    ph[2 * HP:3 * HP, :] = ceil_avg(A4, Ay4)
+    se = (A4 & _ME) + (Ax4 & _ME) + (Ay4 & _ME) + (Axy4 & _ME) + _R2
+    so = ((A4 >> _U8) & _ME) + ((Ax4 >> _U8) & _ME) \
+        + ((Ay4 >> _U8) & _ME) + ((Axy4 >> _U8) & _ME) + _R2
+    ph[3 * HP:4 * HP, :] = ((se >> _U2) & _ME) \
+        | (((so >> _U2) & _ME) << _U8)
+    T4 = 16                                # quad rows y0..y0+4 within
+                                           # [y0a, y0a+16)
+
+    def dbl_row(q, _):
+        def one(rr, r):
+            def one_col(c):
+                mh = mvh_ref[0, r, c]
+                mv = mvv_ref[0, r, c]
+                xh = c * 2 * S + mh
+                yh = r * 2 * S + mv
+                x0 = jnp.clip(xh >> 1, 0, W - S)
+                y0 = jnp.clip(yh >> 1, 0, H - S)
+                k = (yh & 1) * 2 + (xh & 1)
+                y0a = (y0 >> 3) << 3
+                d = y0 - y0a
+                if WP == 384:
+                    ls = jnp.where(x0 < 128, 0, 128)
+                    win = ph[pl.ds(pl.multiple_of(k * HP + y0a, 8),
+                                   T4),
+                             pl.ds(pl.multiple_of(ls, 128), 256)]
+                    win = pltpu.roll(win,
+                                     jnp.where(d == 0, 0, T4 - d), 0)
+                    w = win[0:4, :]
+                    f = x0 - ls
+                    w2 = pltpu.roll(w, jnp.where(f == 0, 0, 256 - f),
+                                    1)
+                else:
+                    win = ph[pl.ds(pl.multiple_of(k * HP + y0a, 8),
+                                   T4), :]
+                    win = pltpu.roll(win,
+                                     jnp.where(d == 0, 0, T4 - d), 0)
+                    w = win[0:4, :]
+                    w2 = pltpu.roll(w, jnp.where(x0 == 0, 0, WP - x0),
+                                    1)
+                band[rr * 4:(rr + 1) * 4, c * S:(c + 1) * S] = \
+                    jax.lax.bitcast_convert_type(w2[:, 0:S], jnp.int32)
+            for c in range(mbw):
+                one_col(c)
+
+        one(0, 2 * q)
+        one(1, 2 * q + 1)
+        out_ref[0, pl.ds(pl.multiple_of(q * 8, 8), 8), :] = band[...]
+        return 0
+
+    jax.lax.fori_loop(0, mbh // 2, dbl_row, 0)
+
+
+def unpack_rowquads(out32, H: int, W: int):
+    """int32[N, H/4, >=W] row-quad packed -> uint8[N, H, W]: byte b of
+    quad row (4r + i) holds block-row r's pixel row 16r + 4b + i."""
+    N = out32.shape[0]
+    o = out32[:, :, :W]
+    u8 = jax.lax.bitcast_convert_type(o, jnp.uint8)   # [N, H/4, W, 4]
+    return u8.reshape(N, H // 16, 4, W, 4) \
+        .transpose(0, 1, 4, 2, 3).reshape(N, H, W)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mb_size", "interpret"))
+def predict_plane_phase4(ref, mv_h, mv_v, mb_size: int,
+                         interpret: bool = False):
+    """predict_plane via the row-quad phase-stacked kernel
+    (bit-identical; see _phase4_kernel).  Requires an even MB-row
+    count (the banded stores flush two block rows at a time)."""
+    N, H, W = ref.shape
+    mbh, mbw = mv_h.shape[1], mv_h.shape[2]
+    S = mb_size
+    assert mbh * S == H and mbw * S == W and S == 16 and W + 1 <= 384
+    assert mbh % 2 == 0, "phase4 needs an even MB-row count"
+    T = _round_up(S + 1 + 7, 8)
+    HP = _round_up(H - S + T, 8)
+    WP = _round_up(W + 1, 128)
+    refp = jnp.pad(ref.astype(jnp.int32),
+                   ((0, 0), (0, HP - H), (0, WP - W)))
+    out = pl.pallas_call(
+        functools.partial(_phase4_kernel, S=S, H=H, W=W, WP=WP,
+                          mbh=mbh, mbw=mbw, HP=HP),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, HP, WP), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H // 4, WP), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H // 4, WP), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((4 * HP, WP), jnp.uint32),
+                        pltpu.VMEM((8, WP), jnp.int32)],
+        interpret=interpret,
+    )(mv_h, mv_v, refp)
+    return unpack_rowquads(out, H, W)
+
+
 def _packed_kernel(mvh_ref, mvv_ref, ref_ref, out_ref, stk, *, S, H, W,
                    mbh, mbw, HP, dual):
     """Packed phase-stacked mocomp: pixels ride FOUR per uint32 word

@@ -214,6 +214,12 @@ def make_stages(d, interp: bool):
                                   dd["mv_v"], 16, interpret=interp)
         return isum(py)
 
+    def mocomp_phase4_luma(dd, salt):
+        from espflix_tpu.ops.mocomp_pallas import predict_plane_phase4
+        py = predict_plane_phase4(dd["ref_y"] ^ s8(salt), dd["mv_h"],
+                                  dd["mv_v"], 16, interpret=interp)
+        return isum(py)
+
     def mocomp_luma(dd, salt):
         py = predict_plane_pallas(dd["ref_y"] ^ s8(salt), dd["mv_h"],
                                   dd["mv_v"], 16, interpret=interp)
@@ -369,6 +375,7 @@ def make_stages(d, interp: bool):
                 mocomp_phase=mocomp_phase,
                 mocomp_phase_luma=mocomp_phase_luma,
                 mocomp_phase2_luma=mocomp_phase2_luma,
+                mocomp_phase4_luma=mocomp_phase4_luma,
                 mocomp_packed=mocomp_packed,
                 mocomp_packed_luma=mocomp_packed_luma,
                 mocomp_hybrid=mocomp_hybrid,

@@ -264,8 +264,37 @@ def test_rowpair_phase_mocomp_matches_reference():
         assert np.array_equal(got, want), ("phase2", N, H, W, S)
 
 
+def test_rowquad_phase_mocomp_matches_reference():
+    """predict_plane_phase4 (row-quad packed phase stack: rows r,
+    r+4, r+8, r+12 as the four bytes of one int32 lane, quartering
+    the per-visit dynamic lane roll; banded 8-row stores) must be
+    bit-identical to predict_plane for in-bounds MVs."""
+    import jax.numpy as jnp
+
+    from espflix_tpu.ops import mocomp as MC
+    from espflix_tpu.ops.mocomp_pallas import predict_plane_phase4
+
+    rng = np.random.default_rng(10)
+    for (N, H, W, S) in ((2, 64, 128, 16),
+                         (1, 192, 352, 16)):  # WP=384: narrowed roll
+        mbh, mbw = H // S, W // S
+        ref = jnp.asarray(rng.integers(0, 249, (N, H, W),
+                                       dtype=np.uint8))
+        bx = np.arange(mbw)[None, None, :] * S
+        by = np.arange(mbh)[None, :, None] * S
+        mh = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                     -2 * bx, 2 * (W - S - bx) - 1).astype(np.int32)
+        mv = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                     -2 * by, 2 * (H - S - by) - 1).astype(np.int32)
+        want = np.asarray(MC.predict_plane(
+            ref, jnp.asarray(mh), jnp.asarray(mv), S))
+        got = np.asarray(predict_plane_phase4(
+            ref, jnp.asarray(mh), jnp.asarray(mv), S, interpret=INTERP))
+        assert np.array_equal(got, want), ("phase4", N, H, W, S)
+
+
 @pytest.mark.parametrize("variant", ["phase", "hybrid", "hybrid2",
-                                     "packed"])
+                                     "hybrid4", "packed"])
 def test_dense_compose_phase_variant_bit_exact(variant):
     """dense_compose with the Pallas mocomp variants ('phase' stack,
     the measured-default 'hybrid' phase-luma+packed-chroma split, and
