@@ -571,9 +571,11 @@ def main():
             b = (tick1 - tick2) / max(lanes - n2, 1)
             a = tick1 - b * lanes
             cand = int((deadline - a) / b) if b > 0 else lanes
-            cand = min(max(cand // 128 * 128, 128), 8192)
+            # 32-lane quantum: the old 128 floor could under-report by
+            # up to 127 lanes (637 -> 512); kernels grid over N freely
+            cand = min(max(cand // 32 * 32, 128), 8192)
             rt_lanes, p50, p99 = None, None, None
-            for _try in range(4):
+            for _try in range(6):
                 if cand == lanes:
                     tcks = [t / k for t in ts]
                 else:
@@ -589,7 +591,7 @@ def main():
                 if q50 <= deadline or cand <= 128:
                     rt_lanes, p50, p99 = cand, q50, q99
                     break
-                cand = max(cand - 128, 128)
+                cand = max(cand - 32, 128)
             realtime = {
                 "realtime_lanes": rt_lanes,
                 "tick_p50_ms": round(p50 * 1000, 2) if p50 else None,

@@ -59,6 +59,79 @@ def _byte(words, k: int):
     return (words[..., k >> 2] >> (8 * (3 - (k & 3)))) & 0xFF
 
 
+def _synthesis_conv(samples, fvalid, h0, *, N, F, CH):
+    """Synthesis filterbank as a 10-tap convolution over per-block V
+    vectors (see decode_frames_batched).  samples int32[N, F, BLOCKS,
+    CH, SUBBANDS]; fvalid bool[N, F]; h0 int32[N*CH, 10, 16] (row j =
+    V of the j+1-th most recent PAST block).  Returns
+    (pcm int16[N, F, CH, BLOCKS, SUBBANDS] in original frame slots,
+    new_hist int32[N*CH, 10, 16]) -- bit-identical to the per-block
+    scan over sbc_ops.synthesis_step with per-frame validity masking.
+    """
+    from espflix_tpu.core import sbc_tables as ST
+    B = N * CH
+    T_ = F * BLOCKS
+    syn = jnp.asarray(ST.SYN_8, jnp.int32)            # [16, 8]
+    proto = jnp.asarray(ST.PROTO_8, jnp.int32)        # [8, 10]
+
+    # V for every block, channels folded into batch: [B, F, BLOCKS, 16]
+    V = jnp.einsum("ks,nfbcs->ncfbk", syn, samples,
+                   preferred_element_type=jnp.int32) >> 15
+    V = V.reshape(B, F, BLOCKS, 16)
+
+    # frame compaction: valid frames first (stable), invalid at the
+    # end.  F is tiny (~13), so gathers are compare+select sums.
+    order = jnp.argsort(~fvalid, axis=1, stable=True)  # [N, F]
+    nv = fvalid.sum(axis=1).astype(jnp.int32)          # [N]
+    iota_f = jnp.arange(F, dtype=jnp.int32)
+    ohc = order[:, :, None] == iota_f[None, None, :]   # [N, k, f]
+    ohc2 = jnp.repeat(ohc, CH, axis=0) if CH == 2 else ohc
+    Vc = jnp.sum(jnp.where(ohc2[:, :, :, None, None],
+                           V[:, None, :, :, :], 0),
+                 axis=2)                               # [B, F, BLK, 16]
+
+    # Vext[:, 10 + t] = compacted block t; Vext[:, 10 - m] = h0 row
+    # m-1 (the block m steps in the past)
+    s = Vc.reshape(B, T_, 16)
+    Vext = jnp.concatenate([h0[:, ::-1, :], s], axis=1)
+
+    # pcm[t, i] = sum_a Vext[10+t-2a, i]      * proto[i, 2a]
+    #           + sum_a Vext[10+t-2a-1, 8+i]  * proto[i, 2a+1]
+    # (the scan's even/odd hist rows; odd taps read columns 8..15)
+    acc = jnp.zeros((B, T_, SUBBANDS), jnp.int32)
+    for a in range(5):
+        we = jax.lax.dynamic_slice_in_dim(Vext, 10 - 2 * a, T_, 1)
+        wo = jax.lax.dynamic_slice_in_dim(Vext, 10 - 2 * a - 1, T_, 1)
+        acc = acc + we[:, :, :8] * proto[None, None, :, 2 * a] \
+            + wo[:, :, 8:] * proto[None, None, :, 2 * a + 1]
+    pcm_c = jnp.clip(acc >> 15, -0x7FFF, 0x7FFF)       # [B, T_, 8]
+
+    # mask compacted padding (k >= nv) and scatter back to original
+    # frame slots; invalid frames emit zero PCM
+    pcm_c = pcm_c.reshape(B, F, BLOCKS, SUBBANDS)
+    kvalid = iota_f[None, :] < nv[:, None]             # [N, k]
+    kv2 = jnp.repeat(kvalid, CH, axis=0) if CH == 2 else kvalid
+    sel = ohc2 & kv2[:, :, None]                       # [B, k, f]
+    pcm = jnp.sum(jnp.where(sel[:, :, :, None, None],
+                            pcm_c[:, :, None, :, :], 0),
+                  axis=1)                              # [B, f, BLK, 8]
+    pcm = pcm.reshape(N, CH, F, BLOCKS, SUBBANDS) \
+        .transpose(0, 2, 1, 3, 4)                      # [N,F,CH,BLK,8]
+
+    # final history: the last 10 blocks of the compacted stream all
+    # live in the last valid frame (16 >= 10); nv == 0 keeps h0
+    lastf = (order * kvalid).max(axis=1) * \
+        jnp.minimum(nv, 1)                             # [N] orig index
+    lf2 = jnp.repeat(lastf, CH, axis=0) if CH == 2 else lastf
+    tail = jnp.sum(jnp.where(
+        (lf2[:, None] == iota_f[None, :])[:, :, None, None],
+        V[:, :, 6:16, :], 0), axis=1)                  # [B, 10, 16]
+    h1 = tail[:, ::-1, :]                              # row j = blk 15-j
+    nv2 = jnp.repeat(nv, CH, axis=0) if CH == 2 else nv
+    h1 = jnp.where((nv2 > 0)[:, None, None], h1, h0)
+    return pcm, h1
+
+
 @functools.partial(jax.jit, static_argnames=("n_frames", "channels"))
 def decode_frames_batched(words, hist, active=None, n_valid=None, *,
                           n_frames: int, channels: int = 1):
@@ -124,26 +197,19 @@ def decode_frames_batched(words, hist, active=None, n_valid=None, *,
         fvalid = fvalid & (jnp.arange(F)[None, :] < n_valid[:, None])
         error = error & (jnp.arange(F)[None, :] < n_valid[:, None])
 
-    # synthesis scan over all blocks of all frames in order; the CH
-    # filterbanks are independent -> fold channels into the batch axis
-    xs = samples.transpose(1, 2, 0, 3, 4) \
-        .reshape(F * BLOCKS, N * CH, SUBBANDS)
-    vm = jnp.broadcast_to(fvalid[:, :, None, None],
-                          (N, F, BLOCKS, CH)) \
-        .transpose(1, 2, 0, 3).reshape(F * BLOCKS, N * CH)
-
-    def step(h, x):
-        src, m = x
-        h2, pcm = sbc_ops.synthesis_step(h, src)
-        h2 = jnp.where(m[:, None, None], h2, h)
-        return h2, jnp.where(m[:, None], pcm, 0)
-
-    h0 = hist[:, :CH].reshape(N * CH, 10, 16)
-    h1, pcm = jax.lax.scan(step, h0, (xs, vm))     # pcm [T, N*CH, 8]
-    # [T=F*16, N*CH, 8] -> per frame, channel-major runs of 128
-    pcm = pcm.reshape(F, BLOCKS, N, CH, SUBBANDS) \
-        .transpose(2, 0, 3, 1, 4) \
-        .reshape(N, F * CH * PCM_PER_FRAME)
+    # synthesis: the V-history recurrence is really a sliding WINDOW
+    # over the per-block V vectors (V = SYN_8 @ src depends only on
+    # the block's samples), so instead of a 208-step lax.scan the
+    # whole tick computes as a 10-tap convolution over the block
+    # timeline -- fully parallel, bit-identical (int32 sums are
+    # order-independent mod 2^32).  Invalid frames must be SKIPPED by
+    # the window (the scan froze the carry), so frames compact
+    # valid-first per lane before the convolution and PCM scatters
+    # back to original frame slots.  ~3x the old scan on hardware.
+    pcm_c, h1 = _synthesis_conv(
+        samples, fvalid, hist[:, :CH].reshape(N * CH, 10, 16),
+        N=N, F=F, CH=CH)
+    pcm = pcm_c.reshape(N, F * CH * PCM_PER_FRAME)
     new_hist = hist_in.at[:, :CH].set(h1.reshape(N, CH, 10, 16))
     frame_bits = base_bits + ends[..., -1]
     if active is not None:

@@ -85,7 +85,10 @@ def _kernel_parts(par_ref, blend_ref, prog_ref, y_ref, ui_ref, vi_ref,
     def amp(c):
         m = (128 - c) * T.BLACK_LEVEL
         am = jnp.abs(m)
-        return jnp.sign(m) * ((2 * am + 33) // 66)
+        # exact magic-multiply for (2*am+33)//66: am <= 128*BLACK_LEVEL
+        # = 3072, and (x*3972)>>18 == x//66 for all x <= 6177
+        # (exhaustively checked; VPU integer divides are ~10x a mul)
+        return jnp.sign(m) * (((2 * am + 33) * 3972) >> 18)
 
     ru = amp(ui)
     rv = amp(vi)
@@ -93,10 +96,13 @@ def _kernel_parts(par_ref, blend_ref, prog_ref, y_ref, ui_ref, vi_ref,
     pu_p = jnp.clip(bias + ru, 0, 127)
     pv_m = jnp.clip(bias - rv, 0, 127)
     pv_p = jnp.clip(bias + rv, 0, 127)
-    rows_odd = (jax.lax.broadcasted_iota(I32, (192, 352), 0) & 1) == 1
-    vsw = rows_odd if pal else jnp.zeros_like(rows_odd)
-    k2v = jnp.where(vsw, pv_p, pv_m)
-    k3v = jnp.where(vsw, pv_m, pv_p)
+    if pal:
+        # PAL V-switch alternates the v phase per line
+        vsw = (jax.lax.broadcasted_iota(I32, (192, 352), 0) & 1) == 1
+        k2v = jnp.where(vsw, pv_p, pv_m)
+        k3v = jnp.where(vsw, pv_m, pv_p)
+    else:
+        k2v, k3v = pv_m, pv_p
     cw0 = ((pu_m + bias) & 0xFC) >> 2
     cw1 = ((pu_p + bias) & 0xFC) >> 2
     cw2 = ((bias + k2v) & 0xFC) >> 2

@@ -745,7 +745,7 @@ def predict_plane_phase4(ref, mv_h, mv_v, mb_size: int,
 
 
 def _packed_kernel(mvh_ref, mvv_ref, ref_ref, out_ref, stk, *, S, H, W,
-                   mbh, mbw, HP, dual):
+                   mbh, mbw, HP, dual, preshift=True):
     """Packed phase-stacked mocomp: pixels ride FOUR per uint32 word
     (byte p&3 of word p>>2), so every slab the MB loop touches is 4x
     narrower than _phase_kernel's and the plane width (352 px = 88
@@ -794,14 +794,16 @@ def _packed_kernel(mvh_ref, mvv_ref, ref_ref, out_ref, stk, *, S, H, W,
         + ((Ay >> _U8) & _ME) + ((Axy >> _U8) & _ME) + _R2
     stk[3 * HP:4 * HP, :] = ((se >> _U2) & _ME) \
         | (((so >> _U2) & _ME) << _U8)
-    for d in range(1, 8):
-        # shift-d copy; rows that wrap across a phase boundary are
-        # never read (visits stop at y0 + S - 1 <= H - 1 < HP - d)
-        stk[d * 4 * HP:(d + 1) * 4 * HP, :] = pltpu.roll(
-            stk[0:4 * HP, :], 4 * HP - d, 0)
+    if preshift:
+        for d in range(1, 8):
+            # shift-d copy; rows that wrap across a phase boundary are
+            # never read (visits stop at y0 + S - 1 <= H - 1 < HP - d)
+            stk[d * 4 * HP:(d + 1) * 4 * HP, :] = pltpu.roll(
+                stk[0:4 * HP, :], 4 * HP - d, 0)
 
     WB = S // 4                            # output words per block
     VOW = 48                               # v's word offset when dual
+    T = _round_up(S + 8, 8)                # slice rows when not preshift
 
     def mb_row(r, _):
         def one_col(c):
@@ -816,8 +818,16 @@ def _packed_kernel(mvh_ref, mvv_ref, ref_ref, out_ref, stk, *, S, H, W,
             d = y0 - y0a
             q = x0 >> 2
             s = x0 & 3
-            base = (d * 4 + k) * HP + y0a
-            slab = stk[pl.ds(pl.multiple_of(base, 8), S), :]
+            if preshift:
+                base = (d * 4 + k) * HP + y0a
+                slab = stk[pl.ds(pl.multiple_of(base, 8), S), :]
+            else:
+                # 4-phase stack only: one cheap sublane roll per visit
+                # (~0.2 cyc/vreg) replaces the 8 pre-shifted copies
+                # whose build dominated the packed kernels' cost
+                win = stk[pl.ds(pl.multiple_of(k * HP + y0a, 8), T), :]
+                win = pltpu.roll(win, jnp.where(d == 0, 0, T - d), 0)
+                slab = win[0:S, :]
             wa = pltpu.roll(slab, jnp.where(q == 0, 0, 128 - q), 1)
             wb = pltpu.roll(slab, 127 - q, 1)
             sl = (s << 3).astype(jnp.uint32)
@@ -856,20 +866,24 @@ def _unpack_words(out, W: int, col: int = 0):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mb_size", "interpret"))
+                   static_argnames=("mb_size", "interpret", "preshift"))
 def predict_plane_packed(ref, mv_h, mv_v, mb_size: int,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         preshift: bool = True):
     """predict_plane via the packed SWAR phase-stacked kernel
-    (bit-identical; see _packed_kernel)."""
+    (bit-identical; see _packed_kernel).  preshift=False builds only
+    the 4-phase stack and pays one sublane roll per visit instead."""
     N, H, W = ref.shape
     mbh, mbw = mv_h.shape[1], mv_h.shape[2]
     S = mb_size
     assert mbh * S == H and mbw * S == W and W + S + 1 <= 512
     HP = _round_up(H + 1, 8)
     refp = _pack_words([(ref, 0)], HP)
+    copies = 32 if preshift else 4
     out = pl.pallas_call(
         functools.partial(_packed_kernel, S=S, H=H, W=W, mbh=mbh,
-                          mbw=mbw, HP=HP, dual=False),
+                          mbw=mbw, HP=HP, dual=False,
+                          preshift=preshift),
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
@@ -882,28 +896,33 @@ def predict_plane_packed(ref, mv_h, mv_v, mb_size: int,
         out_specs=pl.BlockSpec((1, H, 128), lambda n: (n, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, H, 128), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((32 * HP, 128), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((copies * HP, 128), jnp.uint32)],
         interpret=interpret,
     )(mv_h, mv_v, refp)
     return _unpack_words(out, W)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "preshift"))
 def predict_chroma_pair_packed(ref_u, ref_v, mv_h, mv_v,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               preshift: bool = True):
     """Both chroma planes through ONE packed kernel call (u at byte
     cols [0, 192), v at [192, 384)); shared MVs mean one slice/roll
     chain serves both windows per visit.  Bit-identical to
-    predict_plane on each plane."""
+    predict_plane on each plane.  preshift=False (the "packed4" form)
+    drops the 8 pre-shifted stack copies -- whose build dominated this
+    kernel's cost -- for one cheap sublane roll per visit."""
     N, H, W = ref_u.shape
     mbh, mbw = mv_h.shape[1], mv_h.shape[2]
     S = 8
     assert mbh * S == H and mbw * S == W and W + S + 1 <= 192
     HP = _round_up(H + 1, 8)
     refp = _pack_words([(ref_u, 0), (ref_v, 192)], HP)
+    copies = 32 if preshift else 4
     out = pl.pallas_call(
         functools.partial(_packed_kernel, S=S, H=H, W=W, mbh=mbh,
-                          mbw=mbw, HP=HP, dual=True),
+                          mbw=mbw, HP=HP, dual=True,
+                          preshift=preshift),
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, mbh, mbw), lambda n: (n, 0, 0),
@@ -916,7 +935,7 @@ def predict_chroma_pair_packed(ref_u, ref_v, mv_h, mv_v,
         out_specs=pl.BlockSpec((1, H, 128), lambda n: (n, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, H, 128), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((32 * HP, 128), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((copies * HP, 128), jnp.uint32)],
         interpret=interpret,
     )(mv_h, mv_v, refp)
     return _unpack_words(out, W), _unpack_words(out, W, 192)

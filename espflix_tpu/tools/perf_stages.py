@@ -252,6 +252,22 @@ def make_stages(d, interp: bool):
                                   dd["mv_v"], 16, interpret=interp)
         return isum(py)
 
+    def mocomp_chroma_packed(dd, salt):
+        from espflix_tpu.ops.mocomp_pallas import \
+            predict_chroma_pair_packed
+        pu, pv = predict_chroma_pair_packed(
+            dd["ref_u"] ^ s8(salt), dd["ref_v"], dd["mv_h"] >> 1,
+            dd["mv_v"] >> 1, interpret=interp)
+        return isum(pu) + isum(pv)
+
+    def mocomp_chroma_packed4(dd, salt):
+        from espflix_tpu.ops.mocomp_pallas import \
+            predict_chroma_pair_packed
+        pu, pv = predict_chroma_pair_packed(
+            dd["ref_u"] ^ s8(salt), dd["ref_v"], dd["mv_h"] >> 1,
+            dd["mv_v"] >> 1, interpret=interp, preshift=False)
+        return isum(pu) + isum(pv)
+
     # -- the compose stage, split three ways ---------------------------
     def _compose_one(cur, pred, resid, kind_mb, reps):
         # twin of models/mpeg1.dense_compose compose() (kept in sync)
@@ -378,6 +394,8 @@ def make_stages(d, interp: bool):
                 mocomp_phase4_luma=mocomp_phase4_luma,
                 mocomp_packed=mocomp_packed,
                 mocomp_packed_luma=mocomp_packed_luma,
+                mocomp_chroma_packed=mocomp_chroma_packed,
+                mocomp_chroma_packed4=mocomp_chroma_packed4,
                 mocomp_hybrid=mocomp_hybrid,
                 densify=densify,
                 mocomp_luma=mocomp_luma,

@@ -367,6 +367,11 @@ def test_packed_swar_mocomp_matches_reference():
         got = np.asarray(predict_plane_packed(
             ref, jnp.asarray(mh), jnp.asarray(mv), S, interpret=INTERP))
         assert np.array_equal(got, want), ("packed", N, H, W, S)
+        # packed4 form: 4-phase stack + per-visit sublane roll
+        got4 = np.asarray(predict_plane_packed(
+            ref, jnp.asarray(mh), jnp.asarray(mv), S, interpret=INTERP,
+            preshift=False))
+        assert np.array_equal(got4, want), ("packed4", N, H, W, S)
 
     # dual chroma pack at the production geometry (96x176, S=8)
     N, H, W, S = 1, 96, 176, 8
@@ -379,9 +384,13 @@ def test_packed_swar_mocomp_matches_reference():
                  -2 * bx, 2 * (W - S - bx) - 1).astype(np.int32)
     mv = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
                  -2 * by, 2 * (H - S - by) - 1).astype(np.int32)
-    gu, gv = predict_chroma_pair_packed(
-        ru, rv, jnp.asarray(mh), jnp.asarray(mv), interpret=INTERP)
-    assert np.array_equal(np.asarray(gu), np.asarray(
-        MC.predict_plane(ru, jnp.asarray(mh), jnp.asarray(mv), S)))
-    assert np.array_equal(np.asarray(gv), np.asarray(
-        MC.predict_plane(rv, jnp.asarray(mh), jnp.asarray(mv), S)))
+    wu = np.asarray(MC.predict_plane(ru, jnp.asarray(mh),
+                                     jnp.asarray(mv), S))
+    wv = np.asarray(MC.predict_plane(rv, jnp.asarray(mh),
+                                     jnp.asarray(mv), S))
+    for preshift in (True, False):
+        gu, gv = predict_chroma_pair_packed(
+            ru, rv, jnp.asarray(mh), jnp.asarray(mv), interpret=INTERP,
+            preshift=preshift)
+        assert np.array_equal(np.asarray(gu), wu), ("dual", preshift)
+        assert np.array_equal(np.asarray(gv), wv), ("dual", preshift)
