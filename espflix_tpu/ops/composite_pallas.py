@@ -65,8 +65,8 @@ def _pad2(x, top, left, L, W2):
 
 
 def _kernel_parts(par_ref, blend_ref, prog_ref, y_ref, ui_ref, vi_ref,
-                  osd_ref, tmpl_ref, dith_ref, act_ref, strip_ref, *,
-                  pal, g):
+                  osd_ref, tmpl_ref, dith_ref, act_ref, strip_ref,
+                  chk_ref, *, pal, g):
     """Active/OSD-parts form of _kernel: emits only the per-lane
     VARIABLE canvas regions -- the active sample pairs of both fields
     [2, 192, 352] and ONE parity-independent OSD strip [16, W2] (rows
@@ -173,6 +173,18 @@ def _kernel_parts(par_ref, blend_ref, prog_ref, y_ref, ui_ref, vi_ref,
     act_ref[0, 1] = (((sac >> 16) & 0xFF)
                      | (((pbc >> 16) & 0xFF) << 8)).astype(jnp.int16)
 
+    # per-lane byte sum of the variable regions, computed while the
+    # values are still in VMEM (the chain's field_sum previously
+    # re-read the whole [N, 2, 192, 352] act output from HBM):
+    # both fields' active bytes + the strip's bytes twice (it appears
+    # in both fields); the constant template base adds on the host
+    M8b = jnp.int32(0x00FF00FF)
+    by = (sac & M8b) + (pbc & M8b)
+    act_sum = jnp.sum((by & 0xFFFF) + (by >> 16), dtype=jnp.int32)
+    sv = strip & jnp.int32(0xFFFF)
+    strip_sum = jnp.sum((sv & 0xFF) + (sv >> 8), dtype=jnp.int32)
+    chk_ref[pl.program_id(0), 0] = act_sum + 2 * strip_sum
+
 
 @functools.cache
 def _parts_consts(pal: bool):
@@ -196,13 +208,17 @@ def synthesize_field_pair_parts(y, u, v, frame_parity, osd, osd_blend,
                                 interpret: bool = False):
     """The production form: (act int16[N, 2, 192, 352] packed active
     sample pairs per field, strip int16[N, 16, W2] the shared OSD
-    rows).  Together with the constant template these are the complete
+    rows, chk int32[N] the complete per-lane canvas byte sum).
+    Together with the constant template, act+strip are the complete
     composite signal (assemble_canvas_packed); skipping the constant
     ~71% of canvas bytes saves both kernel stores and downstream
-    checksum traffic."""
+    checksum traffic, and chk is computed in-kernel while the values
+    are in VMEM (equals field_parts_byte_sum(act, strip), which no
+    longer needs to re-read act from HBM)."""
     tmpl, dith, g = _packed_consts(pal)
     N = y.shape[0]
     L, W2 = tmpl.shape
+    base, _g = _parts_consts(pal)
 
     def prep(c):
         c = c.astype(jnp.int16)
@@ -218,7 +234,7 @@ def synthesize_field_pair_parts(y, u, v, frame_parity, osd, osd_blend,
     smem = functools.partial(pl.BlockSpec, (1, 1, 1),
                              lambda n: (n, 0, 0),
                              memory_space=pltpu.SMEM)
-    act, strip = pl.pallas_call(
+    act, strip, chk = pl.pallas_call(
         functools.partial(_kernel_parts, pal=pal, g=g),
         grid=(N,),
         in_specs=[
@@ -233,17 +249,19 @@ def synthesize_field_pair_parts(y, u, v, frame_parity, osd, osd_blend,
         out_specs=[
             pl.BlockSpec((1, 2, 192, 352), lambda n: (n, 0, 0, 0)),
             pl.BlockSpec((1, 16, W2), lambda n: (n, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, 2, 192, 352), jnp.int16),
             jax.ShapeDtypeStruct((N, 16, W2), jnp.int16),
+            jax.ShapeDtypeStruct((N, 1), jnp.int32),
         ],
         interpret=interpret,
     )(frame_parity.astype(jnp.int32)[:, None, None],
       osd_blend.astype(jnp.int32)[:, None, None],
       osd_progress.astype(jnp.int32)[:, None, None], y, ui, vi, osd,
       jnp.asarray(tmpl), jnp.asarray(dith))
-    return act, strip
+    return act, strip, chk[:, 0] + jnp.int32(base)
 
 
 def field_parts_byte_sum(act, strip, *, pal: bool):
@@ -286,7 +304,7 @@ def synthesize_field_pair_packed(y, u, v, frame_parity, osd, osd_blend,
     composite.synthesize_field_pair.  Compat surface: the production
     chain consumes the parts form (synthesize_field_pair_parts)
     directly and only assembles full canvases for tapped lanes."""
-    act, strip = synthesize_field_pair_parts(
+    act, strip, _chk = synthesize_field_pair_parts(
         y, u, v, frame_parity, osd, osd_blend, osd_progress, pal=pal,
         interpret=interpret)
     return assemble_canvas_packed(act, strip, pal=pal)

@@ -118,7 +118,7 @@ def _chunk_scan(xs, frames, sbc_state, ds_state, tap_idx, slide,
         # strip; the ~71% constant template bytes are never written
         # per lane (ops/composite_pallas.py; taps assemble the full
         # canvas on demand)
-        f_act, f_strip = CP.synthesize_field_pair_parts(
+        f_act, f_strip, f_sum = CP.synthesize_field_pair_parts(
             ye, ue, ve, x["parity"], x["osd"], x["blend"],
             x["progress"], pal=pal, interpret=interpret)
 
@@ -139,7 +139,7 @@ def _chunk_scan(xs, frames, sbc_state, ds_state, tap_idx, slide,
         out = dict(
             err=err,
             audio_err=aerr.any(axis=tuple(range(1, aerr.ndim))),
-            field_sum=CP.field_parts_byte_sum(f_act, f_strip, pal=pal),
+            field_sum=f_sum,
             pdm_sum=pdm.sum(axis=1, dtype=jnp.int32),
         )
         if return_planes:

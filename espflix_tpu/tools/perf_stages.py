@@ -340,13 +340,14 @@ def make_stages(d, interp: bool):
 
     def fieldpair(dd, salt):
         # the production parts form (chain.py): per-field active pairs
-        # + shared OSD strip + checksum, no full-canvas writes
-        act, strip = synthesize_field_pair_parts(
+        # + shared OSD strip + in-kernel checksum, no full-canvas
+        # writes and no act re-read for the sum
+        act, strip, chk = synthesize_field_pair_parts(
             dd["cur_y"] ^ s8(salt), dd["cur_u"], dd["cur_v"],
             dd["parity"], dd["osd"], dd["blend"], dd["progress"],
             pal=False, interpret=interp)
-        return field_parts_byte_sum(act, strip,
-                                    pal=False).sum(dtype=jnp.int32)
+        return chk.sum(dtype=jnp.int32) + act[0, 0, 0, 0] \
+            .astype(jnp.int32) + strip[0, 0, 0].astype(jnp.int32)
 
     def fieldpair_full(dd, salt):
         # compat surface: full-canvas assembly included

@@ -52,7 +52,7 @@ def test_parts_form_matches_full_canvas(rng, pal):
     prog = jnp.asarray(np.array([0, 100, 240], dtype=np.int32))
     ref = np.asarray(CO.synthesize_field_pair(
         y, u, v, par, osd, blend, prog, pal=pal))
-    act, strip = CP.synthesize_field_pair_parts(
+    act, strip, chk = CP.synthesize_field_pair_parts(
         y, u, v, par, osd, blend, prog, pal=pal, interpret=INTERP)
     canvas = CP.assemble_canvas_packed(act, strip, pal=pal)
     np.testing.assert_array_equal(np.asarray(CP.unpack_fields(canvas)),
@@ -60,6 +60,10 @@ def test_parts_form_matches_full_canvas(rng, pal):
     np.testing.assert_array_equal(
         np.asarray(CP.field_parts_byte_sum(act, strip, pal=pal)),
         ref.astype(np.int64).sum(axis=(1, 2, 3)))
+    # the in-kernel per-lane byte sum (the chain's field_sum) equals
+    # the post-hoc reduction over the parts
+    np.testing.assert_array_equal(
+        np.asarray(chk), ref.astype(np.int64).sum(axis=(1, 2, 3)))
 
 
 def test_packed_byte_sum_matches_unpacked(rng):
