@@ -614,7 +614,7 @@ def main():
         "standard": args.standard,
         "pipeline": pipeline_used,
         "scatter": args.scatter,
-        "mocomp": os.environ.get("ESPFLIX_MOCOMP", "hybrid2"),
+        "mocomp": os.environ.get("ESPFLIX_MOCOMP", "hybrid2p"),
         "idct": os.environ.get("ESPFLIX_IDCT", "pallasT"),
         "fallback_reason": fallback_reason,
         **realtime,

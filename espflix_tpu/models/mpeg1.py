@@ -425,14 +425,17 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
         if use_pallas_mocomp is None:
             if jax.default_backend() == "tpu":
                 # ESPFLIX_MOCOMP selects the TPU production variant:
-                # "hybrid2" (row-pair phase-stack luma + packed dual
-                # chroma, the round-5 measured default: luma 10.5 vs
-                # 15.0 ms isolated at 1024 lanes), "hybrid" (unpacked
-                # phase luma, round-4 default), "phase" (phase-stacked
-                # both), "packed" (packed SWAR both), "pallas"
-                # (roll-window predict kernel + XLA compose) or
-                # "fused2" (branch-free fused mocomp+compose)
-                v = os.environ.get("ESPFLIX_MOCOMP", "hybrid2")
+                # "hybrid2p" (row-pair phase-stack luma + packed dual
+                # chroma with all per-visit scalars precomputed in XLA
+                # and read from SMEM -- the round-5 measured default:
+                # luma 8.4 vs 10.7, chroma pair 9.8 vs 11.2 ms
+                # isolated at 1024 lanes), "hybrid2" (in-kernel visit
+                # scalars), "hybrid" (unpacked phase luma, round-4
+                # default), "phase" (phase-stacked both), "packed"
+                # (packed SWAR both), "pallas" (roll-window predict
+                # kernel + XLA compose) or "fused2" (branch-free
+                # fused mocomp+compose)
+                v = os.environ.get("ESPFLIX_MOCOMP", "hybrid2p")
                 use_pallas_mocomp = True if v == "pallas" else v
             else:
                 use_pallas_mocomp = False
@@ -466,25 +469,35 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
                                           interpret=interp)
             pred_u, pred_v = predict_chroma_pair_packed(
                 ref_u, ref_v, mv_h >> 1, mv_v >> 1, interpret=interp)
-        elif use_pallas_mocomp in ("hybrid", "hybrid2", "hybrid4"):
+        elif use_pallas_mocomp in ("hybrid", "hybrid2", "hybrid2p",
+                                   "hybrid4"):
             # measured split decision (docs/PERF.md round 4): luma
             # prefers a phase stack (the 8 pre-shifted packed copies
             # cost more than packing saves on the big plane), chroma
             # prefers the packed dual kernel (~8.3 vs ~12.5 ms for
             # the u+v pair).  hybrid2 uses the row-pair phase-stacked
             # luma kernel (_phase2_kernel): the dynamic lane roll --
-            # the dominant per-visit op -- touches half the rows
+            # the dominant per-visit op -- touches half the rows.
+            # hybrid2p moves every per-visit scalar (clip/phase/roll
+            # address chain) out of the kernel into one vectorized
+            # XLA precompute read back via SMEM (_phase2p_kernel /
+            # _packedp_kernel)
             from espflix_tpu.ops.mocomp_pallas import (
-                predict_chroma_pair_packed, predict_plane_phase,
-                predict_plane_phase2, predict_plane_phase4)
+                predict_chroma_pair_packed, predict_chroma_pair_packedp,
+                predict_plane_phase, predict_plane_phase2,
+                predict_plane_phase2p, predict_plane_phase4)
             interp = jax.default_backend() != "tpu"
             luma = {"hybrid": predict_plane_phase,
                     "hybrid2": predict_plane_phase2,
+                    "hybrid2p": predict_plane_phase2p,
                     "hybrid4": predict_plane_phase4}[use_pallas_mocomp]
             if use_pallas_mocomp == "hybrid4" and mb_height % 2:
                 luma = predict_plane_phase2
             pred_y = luma(ref_y, mv_h, mv_v, 16, interpret=interp)
-            pred_u, pred_v = predict_chroma_pair_packed(
+            chroma = (predict_chroma_pair_packedp
+                      if use_pallas_mocomp == "hybrid2p"
+                      else predict_chroma_pair_packed)
+            pred_u, pred_v = chroma(
                 ref_u, ref_v, mv_h >> 1, mv_v >> 1, interpret=interp)
         elif use_pallas_mocomp:
             # VMEM-resident roll-based window extraction: bit-identical,

@@ -941,6 +941,247 @@ def predict_chroma_pair_packed(ref_u, ref_v, mv_h, mv_v,
     return _unpack_words(out, W), _unpack_words(out, W, 192)
 
 
+def _visit_scalars_luma(mv_h, mv_v, S, H, W, HP, WP):
+    """XLA-side precompute of every per-visit scalar of the row-pair
+    phase kernel: the MB loop's address arithmetic (clip, phase index,
+    alignment, roll normalization -- ~25 scalar-core ops per visit in
+    _phase2_kernel) vectorizes to a handful of [N, mbh, mbw] int ops
+    here, so each kernel visit is reduced to four SMEM reads plus the
+    slice/roll/store chain.  Returns (base, sro, ls, lro):
+    base = phase*HP + y0a (8-aligned slice row), sro = sublane roll,
+    ls = 128-lane span start (WP==384 narrowing), lro = lane roll."""
+    mbh, mbw = mv_h.shape[1], mv_h.shape[2]
+    cs = (jnp.arange(mbw, dtype=jnp.int32) * (2 * S))[None, None, :]
+    rs = (jnp.arange(mbh, dtype=jnp.int32) * (2 * S))[None, :, None]
+    xh = mv_h + cs
+    yh = mv_v + rs
+    x0 = jnp.clip(xh >> 1, 0, W - S)
+    y0 = jnp.clip(yh >> 1, 0, H - S)
+    k = (yh & 1) * 2 + (xh & 1)
+    y0a = (y0 >> 3) << 3
+    d = y0 - y0a
+    base = k * HP + y0a
+    sro = jnp.where(d == 0, 0, 16 - d)
+    if WP == 384:
+        ls = jnp.where(x0 < 128, 0, 128)
+        f = x0 - ls
+        lro = jnp.where(f == 0, 0, 256 - f)
+    else:
+        ls = jnp.zeros_like(x0)
+        lro = jnp.where(x0 == 0, 0, WP - x0)
+    return base, sro, ls, lro
+
+
+def _phase2p_kernel(base_ref, sro_ref, ls_ref, lro_ref, ref_ref,
+                    out_ref, ph, *, S, H, W, WP, mbh, mbw, HP):
+    """_phase2_kernel with every per-visit scalar precomputed on the
+    XLA side (_visit_scalars_luma): a visit is four SMEM reads, one
+    aligned slice, one sublane roll, one lane roll, one store -- the
+    measured bottleneck of the phase kernels was the scalar core's
+    ~25-op address chain per visit, not vreg traffic (the row-quad
+    variant with 1/4 the vregs measured neutral)."""
+    I32 = jnp.int32
+    M8 = jnp.int32(0x00FF00FF)
+    R1 = jnp.int32(0x00010001)
+    R2 = jnp.int32(0x00020002)
+    A = ref_ref[0]
+    A2 = A + (pltpu.roll(A, HP - 8, 0) << 16)
+    Ax2 = pltpu.roll(A2, WP - 1, 1)
+    Ay2 = pltpu.roll(A2, HP - 1, 0)
+    Axy2 = pltpu.roll(Ax2, HP - 1, 0)
+    ph[0:HP, :] = A2
+    ph[HP:2 * HP, :] = ((A2 + Ax2 + R1) >> 1) & M8
+    ph[2 * HP:3 * HP, :] = ((A2 + Ay2 + R1) >> 1) & M8
+    ph[3 * HP:4 * HP, :] = ((A2 + Ax2 + Ay2 + Axy2 + R2) >> 2) & M8
+    S2 = S // 2
+
+    def mb_row(r, _):
+        def one_col(c):
+            b = base_ref[0, r, c]
+            sr = sro_ref[0, r, c]
+            lr = lro_ref[0, r, c]
+            if WP == 384:
+                ls = ls_ref[0, r, c]
+                win = ph[pl.ds(pl.multiple_of(b, 8), 16),
+                         pl.ds(pl.multiple_of(ls, 128), 256)]
+            else:
+                win = ph[pl.ds(pl.multiple_of(b, 8), 16), :]
+            win = pltpu.roll(win, sr, 0)
+            w2 = pltpu.roll(win[0:S2, :], lr, 1)
+            out_ref[0, pl.ds(pl.multiple_of(r * S2, 8), S2),
+                    c * S:(c + 1) * S] = w2[:, 0:S]
+        for c in range(mbw):
+            one_col(c)
+        return 0
+
+    jax.lax.fori_loop(0, mbh, mb_row, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mb_size", "interpret"))
+def predict_plane_phase2p(ref, mv_h, mv_v, mb_size: int,
+                          interpret: bool = False):
+    """predict_plane via the row-pair phase kernel with XLA-precomputed
+    visit scalars (bit-identical; see _phase2p_kernel)."""
+    N, H, W = ref.shape
+    mbh, mbw = mv_h.shape[1], mv_h.shape[2]
+    S = mb_size
+    assert mbh * S == H and mbw * S == W and S == 16 and W + 1 <= 384
+    T = _round_up(S + 1 + 7, 8)
+    HP = _round_up(H - S + T, 8)
+    WP = _round_up(W + 1, 128)
+    refp = jnp.pad(ref.astype(jnp.int32),
+                   ((0, 0), (0, HP - H), (0, WP - W)))
+    base, sro, ls, lro = _visit_scalars_luma(mv_h, mv_v, S, H, W, HP,
+                                             WP)
+    smem = functools.partial(pl.BlockSpec, (1, mbh, mbw),
+                             lambda n: (n, 0, 0),
+                             memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_phase2p_kernel, S=S, H=H, W=W, WP=WP,
+                          mbh=mbh, mbw=mbw, HP=HP),
+        grid=(N,),
+        in_specs=[
+            smem(), smem(), smem(), smem(),
+            pl.BlockSpec((1, HP, WP), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H // 2, WP), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H // 2, WP), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((4 * HP, WP), jnp.int32)],
+        interpret=interpret,
+    )(base, sro, ls, lro, refp)
+    return unpack_rowpairs(out, H, W)
+
+
+def _visit_scalars_packed(mv_h, mv_v, S, H, W, HP):
+    """XLA-side precompute for the packed (4 px/word) chroma kernel
+    with the pre-shifted stack: base = (d*4 + k)*HP + y0a (slice row),
+    war = word-granular lane roll, sl/sh2 = byte-funnel shifts, m =
+    all-ones mask when the funnel's second word contributes (x0 not
+    word-aligned), else 0."""
+    mbh, mbw = mv_h.shape[1], mv_h.shape[2]
+    cs = (jnp.arange(mbw, dtype=jnp.int32) * (2 * S))[None, None, :]
+    rs = (jnp.arange(mbh, dtype=jnp.int32) * (2 * S))[None, :, None]
+    xh = mv_h + cs
+    yh = mv_v + rs
+    x0 = jnp.clip(xh >> 1, 0, W - S)
+    y0 = jnp.clip(yh >> 1, 0, H - S)
+    k = (yh & 1) * 2 + (xh & 1)
+    y0a = (y0 >> 3) << 3
+    d = y0 - y0a
+    base = (d * 4 + k) * HP + y0a
+    q = x0 >> 2
+    s = x0 & 3
+    war = jnp.where(q == 0, 0, 128 - q)
+    sl = s << 3
+    sh2 = (32 - sl) & 31
+    m = jnp.where(s == 0, 0, -1)
+    return base, war, sl, sh2, m
+
+
+def _packedp_kernel(base_ref, war_ref, sl_ref, sh2_ref, m_ref,
+                    ref_ref, out_ref, stk, *, S, H, W, mbh, mbw, HP,
+                    dual):
+    """_packed_kernel (preshift form) with every per-visit scalar
+    precomputed on the XLA side (_visit_scalars_packed), and the
+    funnel's second lane roll made STATIC: wb = roll(wa, 127) ==
+    roll(slab, 127 - q), replacing the second dynamic roll (the
+    expensive per-visit op class) with a constant rotate.  A visit is
+    five SMEM reads, one aligned slice, one dynamic + one static lane
+    roll, the funnel or/and, and the store(s)."""
+    _M7 = np.uint32(0x7F7F7F7F)
+    _ME = np.uint32(0x00FF00FF)
+    _R2 = np.uint32(0x00020002)
+    _U1 = np.uint32(1)
+    _U2 = np.uint32(2)
+    _U8 = np.uint32(8)
+    _U24 = np.uint32(24)
+    A = ref_ref[0]
+    An = pltpu.roll(A, 127, 1)
+    Ax = (A >> _U8) | (An << _U24)
+    Ay = pltpu.roll(A, HP - 1, 0)
+    Ayn = pltpu.roll(Ay, 127, 1)
+    Axy = (Ay >> _U8) | (Ayn << _U24)
+
+    def ceil_avg(a, b):
+        return (a | b) - (((a ^ b) >> _U1) & _M7)
+
+    stk[0:HP, :] = A
+    stk[HP:2 * HP, :] = ceil_avg(A, Ax)
+    stk[2 * HP:3 * HP, :] = ceil_avg(A, Ay)
+    se = (A & _ME) + (Ax & _ME) + (Ay & _ME) + (Axy & _ME) + _R2
+    so = ((A >> _U8) & _ME) + ((Ax >> _U8) & _ME) \
+        + ((Ay >> _U8) & _ME) + ((Axy >> _U8) & _ME) + _R2
+    stk[3 * HP:4 * HP, :] = ((se >> _U2) & _ME) \
+        | (((so >> _U2) & _ME) << _U8)
+    for d in range(1, 8):
+        stk[d * 4 * HP:(d + 1) * 4 * HP, :] = pltpu.roll(
+            stk[0:4 * HP, :], 4 * HP - d, 0)
+
+    WB = S // 4
+    VOW = 48
+
+    def mb_row(r, _):
+        def one_col(c):
+            b = base_ref[0, r, c]
+            ar = war_ref[0, r, c]
+            sl = sl_ref[0, r, c].astype(jnp.uint32)
+            sh2 = sh2_ref[0, r, c].astype(jnp.uint32)
+            m = m_ref[0, r, c].astype(jnp.uint32)
+            slab = stk[pl.ds(pl.multiple_of(b, 8), S), :]
+            wa = pltpu.roll(slab, ar, 1)
+            wb = pltpu.roll(wa, 127, 1)
+            outw = (wa >> sl) | ((wb << sh2) & m)
+            out_ref[0, pl.ds(pl.multiple_of(r * S, 8), S),
+                    c * WB:(c + 1) * WB] = outw[:, 0:WB]
+            if dual:
+                out_ref[0, pl.ds(pl.multiple_of(r * S, 8), S),
+                        VOW + c * WB:VOW + (c + 1) * WB] = \
+                    outw[:, VOW:VOW + WB]
+        for c in range(mbw):
+            one_col(c)
+        return 0
+
+    jax.lax.fori_loop(0, mbh, mb_row, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def predict_chroma_pair_packedp(ref_u, ref_v, mv_h, mv_v,
+                                interpret: bool = False):
+    """predict_chroma_pair_packed with XLA-precomputed visit scalars
+    and a static second funnel roll (bit-identical; see
+    _packedp_kernel)."""
+    N, H, W = ref_u.shape
+    mbh, mbw = mv_h.shape[1], mv_h.shape[2]
+    S = 8
+    assert mbh * S == H and mbw * S == W and W + S + 1 <= 192
+    HP = _round_up(H + 1, 8)
+    refp = _pack_words([(ref_u, 0), (ref_v, 192)], HP)
+    base, war, sl, sh2, m = _visit_scalars_packed(mv_h, mv_v, S, H, W,
+                                                  HP)
+    smem = functools.partial(pl.BlockSpec, (1, mbh, mbw),
+                             lambda n: (n, 0, 0),
+                             memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_packedp_kernel, S=S, H=H, W=W, mbh=mbh,
+                          mbw=mbw, HP=HP, dual=True),
+        grid=(N,),
+        in_specs=[
+            smem(), smem(), smem(), smem(), smem(),
+            pl.BlockSpec((1, HP, 128), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, 128), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H, 128), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((32 * HP, 128), jnp.uint32)],
+        interpret=interpret,
+    )(base, war, sl, sh2, m, refp)
+    return _unpack_words(out, W), _unpack_words(out, W, 192)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mb_size", "interpret"))
 def predict_plane_pallas(ref, mv_h, mv_v, mb_size: int,

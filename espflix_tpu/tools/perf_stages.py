@@ -214,6 +214,20 @@ def make_stages(d, interp: bool):
                                   dd["mv_v"], 16, interpret=interp)
         return isum(py)
 
+    def mocomp_phase2p_luma(dd, salt):
+        from espflix_tpu.ops.mocomp_pallas import predict_plane_phase2p
+        py = predict_plane_phase2p(dd["ref_y"] ^ s8(salt), dd["mv_h"],
+                                   dd["mv_v"], 16, interpret=interp)
+        return isum(py)
+
+    def mocomp_chroma_packedp(dd, salt):
+        from espflix_tpu.ops.mocomp_pallas import \
+            predict_chroma_pair_packedp
+        pu, pv = predict_chroma_pair_packedp(
+            dd["ref_u"] ^ s8(salt), dd["ref_v"], dd["mv_h"] >> 1,
+            dd["mv_v"] >> 1, interpret=interp)
+        return isum(pu) + isum(pv)
+
     def mocomp_phase4_luma(dd, salt):
         from espflix_tpu.ops.mocomp_pallas import predict_plane_phase4
         py = predict_plane_phase4(dd["ref_y"] ^ s8(salt), dd["mv_h"],
@@ -392,6 +406,8 @@ def make_stages(d, interp: bool):
                 mocomp_phase=mocomp_phase,
                 mocomp_phase_luma=mocomp_phase_luma,
                 mocomp_phase2_luma=mocomp_phase2_luma,
+                mocomp_phase2p_luma=mocomp_phase2p_luma,
+                mocomp_chroma_packedp=mocomp_chroma_packedp,
                 mocomp_phase4_luma=mocomp_phase4_luma,
                 mocomp_packed=mocomp_packed,
                 mocomp_packed_luma=mocomp_packed_luma,

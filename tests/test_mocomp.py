@@ -264,6 +264,55 @@ def test_rowpair_phase_mocomp_matches_reference():
         assert np.array_equal(got, want), ("phase2", N, H, W, S)
 
 
+def test_precomputed_scalar_mocomp_matches_reference():
+    """predict_plane_phase2p / predict_chroma_pair_packedp (visit
+    scalars -- slice bases, roll amounts, funnel shifts -- precomputed
+    on the XLA side and read from SMEM; the chroma funnel's second
+    lane roll made static) must be bit-identical to predict_plane for
+    in-bounds MVs, all four half-pel phases."""
+    import jax.numpy as jnp
+
+    from espflix_tpu.ops import mocomp as MC
+    from espflix_tpu.ops.mocomp_pallas import (
+        predict_chroma_pair_packedp, predict_plane_phase2p)
+
+    rng = np.random.default_rng(14)
+    for (N, H, W, S) in ((2, 64, 128, 16),
+                         (1, 192, 352, 16)):  # WP=384: narrowed roll
+        mbh, mbw = H // S, W // S
+        ref = jnp.asarray(rng.integers(0, 249, (N, H, W),
+                                       dtype=np.uint8))
+        bx = np.arange(mbw)[None, None, :] * S
+        by = np.arange(mbh)[None, :, None] * S
+        mh = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                     -2 * bx, 2 * (W - S - bx) - 1).astype(np.int32)
+        mv = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                     -2 * by, 2 * (H - S - by) - 1).astype(np.int32)
+        want = np.asarray(MC.predict_plane(
+            ref, jnp.asarray(mh), jnp.asarray(mv), S))
+        got = np.asarray(predict_plane_phase2p(
+            ref, jnp.asarray(mh), jnp.asarray(mv), S, interpret=INTERP))
+        assert np.array_equal(got, want), ("phase2p", N, H, W, S)
+
+    # dual chroma at the production geometry (96x176, S=8)
+    N, H, W, S = 2, 96, 176, 8
+    mbh, mbw = 12, 22
+    ru = jnp.asarray(rng.integers(0, 249, (N, H, W), dtype=np.uint8))
+    rv = jnp.asarray(rng.integers(0, 249, (N, H, W), dtype=np.uint8))
+    bx = np.arange(mbw)[None, None, :] * S
+    by = np.arange(mbh)[None, :, None] * S
+    mh = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                 -2 * bx, 2 * (W - S - bx) - 1).astype(np.int32)
+    mv = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
+                 -2 * by, 2 * (H - S - by) - 1).astype(np.int32)
+    gu, gv = predict_chroma_pair_packedp(
+        ru, rv, jnp.asarray(mh), jnp.asarray(mv), interpret=INTERP)
+    assert np.array_equal(np.asarray(gu), np.asarray(
+        MC.predict_plane(ru, jnp.asarray(mh), jnp.asarray(mv), S)))
+    assert np.array_equal(np.asarray(gv), np.asarray(
+        MC.predict_plane(rv, jnp.asarray(mh), jnp.asarray(mv), S)))
+
+
 def test_rowquad_phase_mocomp_matches_reference():
     """predict_plane_phase4 (row-quad packed phase stack: rows r,
     r+4, r+8, r+12 as the four bytes of one int32 lane, quartering
