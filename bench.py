@@ -591,7 +591,15 @@ def main():
                 if q50 <= deadline or cand <= 128:
                     rt_lanes, p50, p99 = cand, q50, q99
                     break
-                cand = max(cand - 32, 128)
+                # refit on the measured point and JUMP to the new
+                # candidate -- every candidate is a fresh full-pipeline
+                # compile on this rig (minutes via the remote-compile
+                # tunnel), so a -32 crawl can cost several compiles
+                if b > 0:
+                    nxt = int((deadline - (q50 - b * cand)) / b)
+                else:
+                    nxt = cand - 32
+                cand = max(min(nxt // 32 * 32, cand - 32), 128)
             realtime = {
                 "realtime_lanes": rt_lanes,
                 "tick_p50_ms": round(p50 * 1000, 2) if p50 else None,

@@ -1083,14 +1083,20 @@ def _visit_scalars_packed(mv_h, mv_v, S, H, W, HP):
 
 def _packedp_kernel(base_ref, war_ref, sl_ref, sh2_ref, m_ref,
                     ref_ref, out_ref, stk, *, S, H, W, mbh, mbw, HP,
-                    dual):
+                    dual, accum=False):
     """_packed_kernel (preshift form) with every per-visit scalar
     precomputed on the XLA side (_visit_scalars_packed), and the
     funnel's second lane roll made STATIC: wb = roll(wa, 127) ==
     roll(slab, 127 - q), replacing the second dynamic roll (the
     expensive per-visit op class) with a constant rotate.  A visit is
     five SMEM reads, one aligned slice, one dynamic + one static lane
-    roll, the funnel or/and, and the store(s)."""
+    roll, the funnel or/and, and the store(s).
+
+    accum=True replaces the per-visit narrow (S, WB) stores -- 2*mbw
+    of them per MB row at WB=2 lanes each -- with a register
+    accumulator: each visit masks its u|v output words and ORs them
+    into place with one STATIC lane rotate (u and v share the rotate
+    amount c*WB), and the row writes ONCE as a full (S, 128) store."""
     _M7 = np.uint32(0x7F7F7F7F)
     _ME = np.uint32(0x00FF00FF)
     _R2 = np.uint32(0x00020002)
@@ -1123,6 +1129,12 @@ def _packedp_kernel(base_ref, war_ref, sl_ref, sh2_ref, m_ref,
     WB = S // 4
     VOW = 48
 
+    if accum:
+        li = jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 1)
+        sel = (li < WB) | ((li >= VOW) & (li < VOW + WB)) if dual \
+            else li < WB
+        msel = jnp.where(sel, np.uint32(0xFFFFFFFF), np.uint32(0))
+
     def mb_row(r, _):
         def one_col(c):
             b = base_ref[0, r, c]
@@ -1134,25 +1146,36 @@ def _packedp_kernel(base_ref, war_ref, sl_ref, sh2_ref, m_ref,
             wa = pltpu.roll(slab, ar, 1)
             wb = pltpu.roll(wa, 127, 1)
             outw = (wa >> sl) | ((wb << sh2) & m)
+            if accum:
+                w = outw & msel
+                return pltpu.roll(w, c * WB, 1) if c else w
             out_ref[0, pl.ds(pl.multiple_of(r * S, 8), S),
                     c * WB:(c + 1) * WB] = outw[:, 0:WB]
             if dual:
                 out_ref[0, pl.ds(pl.multiple_of(r * S, 8), S),
                         VOW + c * WB:VOW + (c + 1) * WB] = \
                     outw[:, VOW:VOW + WB]
-        for c in range(mbw):
-            one_col(c)
+        if accum:
+            acc = one_col(0)
+            for c in range(1, mbw):
+                acc = acc | one_col(c)
+            out_ref[0, pl.ds(pl.multiple_of(r * S, 8), S), :] = acc
+        else:
+            for c in range(mbw):
+                one_col(c)
         return 0
 
     jax.lax.fori_loop(0, mbh, mb_row, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "accum"))
 def predict_chroma_pair_packedp(ref_u, ref_v, mv_h, mv_v,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                accum: bool = False):
     """predict_chroma_pair_packed with XLA-precomputed visit scalars
     and a static second funnel roll (bit-identical; see
-    _packedp_kernel)."""
+    _packedp_kernel).  accum=True additionally replaces the narrow
+    per-visit stores with a per-MB-row register accumulator."""
     N, H, W = ref_u.shape
     mbh, mbw = mv_h.shape[1], mv_h.shape[2]
     S = 8
@@ -1166,7 +1189,7 @@ def predict_chroma_pair_packedp(ref_u, ref_v, mv_h, mv_v,
                              memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         functools.partial(_packedp_kernel, S=S, H=H, W=W, mbh=mbh,
-                          mbw=mbw, HP=HP, dual=True),
+                          mbw=mbw, HP=HP, dual=True, accum=accum),
         grid=(N,),
         in_specs=[
             smem(), smem(), smem(), smem(), smem(),

@@ -228,6 +228,14 @@ def make_stages(d, interp: bool):
             dd["mv_v"] >> 1, interpret=interp)
         return isum(pu) + isum(pv)
 
+    def mocomp_chroma_packedpa(dd, salt):
+        from espflix_tpu.ops.mocomp_pallas import \
+            predict_chroma_pair_packedp
+        pu, pv = predict_chroma_pair_packedp(
+            dd["ref_u"] ^ s8(salt), dd["ref_v"], dd["mv_h"] >> 1,
+            dd["mv_v"] >> 1, interpret=interp, accum=True)
+        return isum(pu) + isum(pv)
+
     def mocomp_phase4_luma(dd, salt):
         from espflix_tpu.ops.mocomp_pallas import predict_plane_phase4
         py = predict_plane_phase4(dd["ref_y"] ^ s8(salt), dd["mv_h"],
@@ -408,6 +416,7 @@ def make_stages(d, interp: bool):
                 mocomp_phase2_luma=mocomp_phase2_luma,
                 mocomp_phase2p_luma=mocomp_phase2p_luma,
                 mocomp_chroma_packedp=mocomp_chroma_packedp,
+                mocomp_chroma_packedpa=mocomp_chroma_packedpa,
                 mocomp_phase4_luma=mocomp_phase4_luma,
                 mocomp_packed=mocomp_packed,
                 mocomp_packed_luma=mocomp_packed_luma,
