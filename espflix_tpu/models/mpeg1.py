@@ -494,11 +494,17 @@ def dense_compose(coeffs, recs, nfinal, intra_q, non_intra_q, active,
             if use_pallas_mocomp == "hybrid4" and mb_height % 2:
                 luma = predict_plane_phase2
             pred_y = luma(ref_y, mv_h, mv_v, 16, interpret=interp)
-            chroma = (predict_chroma_pair_packedp
-                      if use_pallas_mocomp == "hybrid2p"
-                      else predict_chroma_pair_packed)
-            pred_u, pred_v = chroma(
-                ref_u, ref_v, mv_h >> 1, mv_v >> 1, interpret=interp)
+            if use_pallas_mocomp == "hybrid2p":
+                # accum=True: one full-width store per chroma MB row
+                # instead of 2*mbw narrow 2-lane stores (9.44 vs 9.82
+                # ms isolated pair at 1024 lanes)
+                pred_u, pred_v = predict_chroma_pair_packedp(
+                    ref_u, ref_v, mv_h >> 1, mv_v >> 1,
+                    interpret=interp, accum=True)
+            else:
+                pred_u, pred_v = predict_chroma_pair_packed(
+                    ref_u, ref_v, mv_h >> 1, mv_v >> 1,
+                    interpret=interp)
         elif use_pallas_mocomp:
             # VMEM-resident roll-based window extraction: bit-identical,
             # 2.7x the one-hot MXU path at 1024 lanes (ops/mocomp_pallas)

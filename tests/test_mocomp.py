@@ -305,12 +305,16 @@ def test_precomputed_scalar_mocomp_matches_reference():
                  -2 * bx, 2 * (W - S - bx) - 1).astype(np.int32)
     mv = np.clip(rng.integers(-2 * S, 2 * S + 1, (N, mbh, mbw)),
                  -2 * by, 2 * (H - S - by) - 1).astype(np.int32)
-    gu, gv = predict_chroma_pair_packedp(
-        ru, rv, jnp.asarray(mh), jnp.asarray(mv), interpret=INTERP)
-    assert np.array_equal(np.asarray(gu), np.asarray(
-        MC.predict_plane(ru, jnp.asarray(mh), jnp.asarray(mv), S)))
-    assert np.array_equal(np.asarray(gv), np.asarray(
-        MC.predict_plane(rv, jnp.asarray(mh), jnp.asarray(mv), S)))
+    wu = np.asarray(MC.predict_plane(ru, jnp.asarray(mh),
+                                     jnp.asarray(mv), S))
+    wv = np.asarray(MC.predict_plane(rv, jnp.asarray(mh),
+                                     jnp.asarray(mv), S))
+    for accum in (False, True):   # accum: row-accumulated stores
+        gu, gv = predict_chroma_pair_packedp(
+            ru, rv, jnp.asarray(mh), jnp.asarray(mv),
+            interpret=INTERP, accum=accum)
+        assert np.array_equal(np.asarray(gu), wu), ("packedp", accum)
+        assert np.array_equal(np.asarray(gv), wv), ("packedp", accum)
 
 
 def test_rowquad_phase_mocomp_matches_reference():
